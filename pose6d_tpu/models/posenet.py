@@ -1,0 +1,265 @@
+"""Unified PoseNet: one configurable Flax module covering the reference's four
+pose-network variants.
+
+The reference implements four near-duplicate nn.Modules
+(models/pose_net_rgb.py, pose_net_rgb_geometric.py, pose_net_rgbd.py,
+pose_net_rgbd_geometric.py). Here a static `PoseNetConfig` selects the
+branches at trace time — no runtime cond, one compiled graph per variant:
+
+| variant          | backbone(s)        | rotation head        | translation            |
+|------------------|--------------------|----------------------|------------------------|
+| rgb              | ResNet50           | deep MLP (2048 wide) | learned 3-vec MLP      |
+| rgb_geometric    | ResNet50 + tiny CNN| MLP (1024 wide)      | learned Z, pinhole X/Y |
+| rgbd             | 2x ResNet50 + attn | fused MLP            | learned 3-vec MLP      |
+| rgbd_geometric   | ResNet50           | MLP (1024 wide)      | depth @ center, pinhole|
+
+All variants L2-normalize the quaternion output and keep the reference's
+[x, y, z, w] ordering. Inputs are NHWC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.pinhole import pinhole_xy_from_z
+from .resnet import ResNet50
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseNetConfig:
+    variant: str = "rgb"  # rgb | rgb_geometric | rgbd | rgbd_geometric
+    img_size: int = 224
+    dtype: Any = jnp.float32
+    # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
+    depth_invalid_thresh: float = 0.01
+    depth_fallback: float = 0.5
+    depth_min: float = 0.1
+    depth_max: float = 2.0
+
+    @property
+    def uses_depth_image(self) -> bool:
+        return self.variant == "rgbd"
+
+    @property
+    def uses_raw_depth(self) -> bool:
+        return self.variant == "rgbd_geometric"
+
+    @property
+    def uses_camera(self) -> bool:
+        return self.variant in ("rgb_geometric", "rgbd_geometric")
+
+
+def _mlp_head(
+    x,
+    widths: Sequence[int],
+    out_dim: int,
+    *,
+    norms: Sequence[str],
+    dropouts: Sequence[float],
+    act,
+    train: bool,
+    out_bias_init=None,
+    kernel_init=None,
+    name_prefix: str = "",
+):
+    """Shared head builder: Dense -> norm -> act -> dropout per layer, then a
+    final Dense to out_dim. `norms[i]` in {'batch', 'layer', 'none'}."""
+    kinit = kernel_init or nn.initializers.lecun_normal()
+    for i, w in enumerate(widths):
+        x = nn.Dense(w, kernel_init=kinit, name=f"{name_prefix}dense{i}")(x)
+        if norms[i] == "batch":
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                             name=f"{name_prefix}norm{i}")(x)
+        elif norms[i] == "layer":
+            x = nn.LayerNorm(name=f"{name_prefix}norm{i}")(x)
+        x = act(x)
+        if dropouts[i] > 0:
+            x = nn.Dropout(rate=dropouts[i], deterministic=not train)(x)
+    bias_init = out_bias_init or nn.initializers.zeros
+    return nn.Dense(out_dim, kernel_init=kinit, bias_init=bias_init, name=f"{name_prefix}out")(x)
+
+
+def _z_bias_init(fill: float, index: int = 2, dim: int = 3):
+    """Bias init putting `fill` at `index` (the reference's typical-depth
+    init, e.g. trans head z-bias 0.5, pose_net_rgb.py:53-54)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        b = jnp.zeros(shape, dtype)
+        return b.at[index].set(fill) if shape[0] == dim else b
+
+    return init
+
+
+class CrossModalAttention(nn.Module):
+    """Single-token multi-head attention: Q from RGB, K/V from depth
+    (reference: models/pose_net_rgbd.py:8-35). With sequence length 1 the
+    softmax over a single key is identity, so this reduces to
+    out_proj(v_proj(depth)) plus dropout — but we keep the full form for
+    weight-level parity and future multi-token use."""
+
+    dim: int = 2048
+    num_heads: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, rgb_feat, depth_feat, train: bool = False):
+        B = rgb_feat.shape[0]
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        q = nn.Dense(self.dim, name="q_proj")(rgb_feat).reshape(B, self.num_heads, head_dim)
+        k = nn.Dense(self.dim, name="k_proj")(depth_feat).reshape(B, self.num_heads, head_dim)
+        v = nn.Dense(self.dim, name="v_proj")(depth_feat).reshape(B, self.num_heads, head_dim)
+        attn = jnp.einsum("bhd,bhd->bh", q, k)[..., None] * scale  # [B, H, 1]
+        attn = jax.nn.softmax(attn, axis=-1)  # single key -> ones, kept for parity
+        attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
+        out = (attn * v).reshape(B, self.dim)
+        return nn.Dense(self.dim, name="out_proj")(out)
+
+
+class ZBackbone(nn.Module):
+    """Lightweight 4-conv CNN for Z-depth prediction
+    (reference: models/pose_net_rgb_geometric.py:36-55)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                         epsilon=1e-5, name=name)
+        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], name="conv0")(x)
+        x = nn.relu(norm("bn0")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(64, (5, 5), padding=[(2, 2), (2, 2)], name="conv1")(x)
+        x = nn.relu(norm("bn1")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(x)
+        x = nn.relu(norm("bn2")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="conv3")(x)
+        x = nn.relu(norm("bn3")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [B, 256]
+
+
+class PoseNet(nn.Module):
+    """The unified pose network. Returns (rotation[B,4] xyzw unit, translation[B,3] m)."""
+
+    config: PoseNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        rgb: jax.Array,  # [B, H, W, 3]
+        depth: Optional[jax.Array] = None,  # [B, H, W, 1] normalized
+        depth_raw: Optional[jax.Array] = None,  # [B, H, W] meters
+        bbox_center: Optional[jax.Array] = None,  # [B, 2] pixels
+        camera_matrix: Optional[jax.Array] = None,  # [B, 3, 3]
+        train: bool = False,
+    ):
+        cfg = self.config
+        v = cfg.variant
+        relu, gelu = nn.relu, nn.gelu
+
+        if v == "rgb":
+            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            rot = _mlp_head(
+                feat, (2048, 1024, 512), 4,
+                norms=("batch", "batch", "none"), dropouts=(0.3, 0.2, 0.0),
+                act=relu, train=train, name_prefix="rot_",
+            )
+            trans = _mlp_head(
+                feat, (2048, 1024, 512), 3,
+                norms=("batch", "batch", "none"), dropouts=(0.3, 0.2, 0.0),
+                act=relu, train=train, out_bias_init=_z_bias_init(0.5),
+                name_prefix="trans_",
+            )
+
+        elif v == "rgb_geometric":
+            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            rot = _mlp_head(
+                feat, (1024, 512), 4,
+                norms=("batch", "batch"), dropouts=(0.3, 0.2),
+                act=relu, train=train, name_prefix="rot_",
+            )
+            z_feat = ZBackbone(name="z_backbone")(rgb, train=train)
+            z = _mlp_head(
+                z_feat, (128, 64), 1,
+                norms=("none", "none"), dropouts=(0.2, 0.0),
+                act=relu, train=train,
+                out_bias_init=_z_bias_init(0.5, index=0, dim=1),
+                name_prefix="z_",
+            )
+            if bbox_center is not None and camera_matrix is not None:
+                trans = pinhole_xy_from_z(z, bbox_center, camera_matrix)
+            else:
+                zeros = jnp.zeros_like(z)
+                trans = jnp.concatenate([zeros, zeros, z], axis=-1)
+
+        elif v == "rgbd":
+            assert depth is not None, "rgbd variant requires a normalized depth image"
+            xavier = nn.initializers.xavier_uniform()
+            rgb_feat = ResNet50(dtype=cfg.dtype, name="rgb_backbone")(rgb, train=train)
+            depth_feat = ResNet50(dtype=cfg.dtype, in_channels=1, name="depth_backbone")(
+                depth, train=train
+            )
+            rgb_feat = nn.LayerNorm(name="rgb_norm")(rgb_feat)
+            depth_feat = nn.LayerNorm(name="depth_norm")(depth_feat)
+            rgb_enh = rgb_feat + CrossModalAttention(name="cross_attention")(
+                rgb_feat, depth_feat, train=train
+            )
+            combined = jnp.concatenate([rgb_enh, depth_feat], axis=-1)  # [B, 4096]
+            fused = nn.Dense(1024, kernel_init=xavier, name="fusion_dense0")(combined)
+            fused = nn.gelu(nn.LayerNorm(name="fusion_norm0")(fused))
+            fused = nn.Dropout(rate=0.2, deterministic=not train)(fused)
+            fused = nn.Dense(1024, kernel_init=xavier, name="fusion_dense1")(fused)
+            fused = nn.gelu(nn.LayerNorm(name="fusion_norm1")(fused))
+
+            def head(x, out_dim, prefix, out_bias_init=nn.initializers.zeros):
+                x = nn.Dense(512, kernel_init=xavier, name=f"{prefix}dense0")(x)
+                x = gelu(nn.LayerNorm(name=f"{prefix}norm0")(x))
+                x = nn.Dropout(rate=0.1, deterministic=not train)(x)
+                x = gelu(nn.Dense(256, kernel_init=xavier, name=f"{prefix}dense1")(x))
+                return nn.Dense(out_dim, kernel_init=xavier, bias_init=out_bias_init,
+                                name=f"{prefix}out")(x)
+
+            rot = head(fused, 4, "rot_")
+            trans = head(fused, 3, "trans_", out_bias_init=_z_bias_init(0.5))
+
+        elif v == "rgbd_geometric":
+            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            rot = _mlp_head(
+                feat, (1024, 512), 4,
+                norms=("batch", "batch"), dropouts=(0.3, 0.2),
+                act=relu, train=train, name_prefix="rot_",
+            )
+            if depth_raw is not None and bbox_center is not None and camera_matrix is not None:
+                trans = self._depth_pinhole_translation(depth_raw, bbox_center, camera_matrix)
+            else:
+                B = rgb.shape[0]
+                trans = jnp.tile(
+                    jnp.array([[0.0, 0.0, cfg.depth_fallback]], dtype=rgb.dtype), (B, 1)
+                )
+        else:
+            raise ValueError(f"unknown variant: {v}")
+
+        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-8)
+        return rot, trans
+
+    def _depth_pinhole_translation(self, depth_raw, bbox_center, camera_matrix):
+        """Non-learned translation: sample the depth map at the bbox center and
+        back-project (reference: models/pose_net_rgbd_geometric.py:56-85)."""
+        cfg = self.config
+        B = depth_raw.shape[0]
+        hi = cfg.img_size - 1
+        u = jnp.clip(bbox_center[:, 0], 0, hi)
+        v = jnp.clip(bbox_center[:, 1], 0, hi)
+        u_idx = jnp.clip(u.astype(jnp.int32), 0, hi)
+        v_idx = jnp.clip(v.astype(jnp.int32), 0, hi)
+        z = depth_raw[jnp.arange(B), v_idx, u_idx]
+        z = jnp.where(z > cfg.depth_invalid_thresh, z, cfg.depth_fallback)
+        z = jnp.clip(z, cfg.depth_min, cfg.depth_max)
+        t = pinhole_xy_from_z(z, jnp.stack([u, v], axis=-1), camera_matrix)
+        return t

@@ -1,0 +1,100 @@
+"""ResNet-50 backbone in Flax linen (NHWC, TPU-native).
+
+Functional re-design of the torchvision ResNet50 the reference uses as the
+backbone of all four pose nets (reference: models/pose_net_rgb.py:18-20).
+Layout is NHWC (TPU-preferred); BatchNorm running statistics live in the
+`batch_stats` collection and can be cross-device synced via `axis_name`.
+
+The depth branch of the RGBD variant uses `in_channels=1`; its pretrained
+initialization (conv1 weights summed over RGB channels, reference:
+models/pose_net_rgbd.py:53-59) is reproduced by the weight converter in
+`convert.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class BottleneckBlock(nn.Module):
+    """ResNet v1 bottleneck: 1x1 -> 3x3 -> 1x1 with expansion 4."""
+
+    features: int
+    strides: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.features, (1, 1), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.features, (3, 3), strides=(self.strides, self.strides), name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.features * 4, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3", scale_init=nn.initializers.zeros)(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.features * 4, (1, 1), strides=(self.strides, self.strides), name="downsample_conv"
+            )(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet v1. `stage_sizes=(3, 4, 6, 3)` gives ResNet-50.
+
+    Returns globally average-pooled features [B, 2048] (the analogue of the
+    reference's `backbone(x).view(B, -1)` after stripping the fc layer).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    num_filters: int = 64
+    in_channels: int = 3
+    dtype: Any = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.axis_name if train else None,
+        )
+
+        x = conv(self.num_filters, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i, block_count in enumerate(self.stage_sizes):
+            for j in range(block_count):
+                strides = 2 if i > 0 and j == 0 else 1
+                x = BottleneckBlock(
+                    features=self.num_filters * 2**i,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    name=f"layer{i + 1}_{j}",
+                )(x)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 2048]
+        return x
+
+
+def ResNet50(**kwargs) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), **kwargs)
