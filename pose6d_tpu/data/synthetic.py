@@ -1,0 +1,141 @@
+"""Synthetic LineMOD-format dataset generator.
+
+The real LineMOD download is ~2 GB; this writes a tiny, geometrically
+consistent dataset tree in the exact on-disk format the index scanner and
+datasets expect (data/{NN}/{rgb,depth}/*.png + gt.yml + info.yml, and
+models/obj_NN.ply + models_info.yml), so train/eval integration tests run
+hermetically. Objects are colored cuboids rendered as filled projected
+silhouettes; depth maps carry the object's Z at its silhouette; bboxes are
+the projected-point extents.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..geometry.pinhole import DEFAULT_K
+
+
+def _write_ply(path: str, pts_mm: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts_mm)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for p in pts_mm:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    # QR of a Gaussian matrix, sign-fixed -> uniform-ish rotation
+    a = rng.normal(size=(3, 3))
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def generate_synthetic_linemod(
+    root: str,
+    obj_ids: tuple = (1, 2),
+    frames_per_obj: int = 20,
+    img_w: int = 640,
+    img_h: int = 480,
+    seed: int = 0,
+) -> dict:
+    """Write a synthetic dataset under `root`; returns paths dict."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(root, "data")
+    model_dir = os.path.join(root, "models")
+    os.makedirs(model_dir, exist_ok=True)
+
+    K = DEFAULT_K
+
+    info_lines = []
+    for oi, obj_id in enumerate(obj_ids):
+        half_mm = 35.0 + 12.0 * oi  # cuboid half-extent in mm
+        n_pts = 800
+        pts_mm = rng.uniform(-half_mm, half_mm, size=(n_pts, 3))
+        _write_ply(os.path.join(model_dir, f"obj_{obj_id:02d}.ply"), pts_mm)
+        diameter_mm = 2.0 * half_mm * np.sqrt(3.0)
+        info_lines.append(f"{obj_id}: {{diameter: {diameter_mm:.3f}}}\n")
+
+        obj_dir = os.path.join(data_dir, f"{obj_id:02d}")
+        rgb_dir = os.path.join(obj_dir, "rgb")
+        depth_dir = os.path.join(obj_dir, "depth")
+        os.makedirs(rgb_dir, exist_ok=True)
+        os.makedirs(depth_dir, exist_ok=True)
+
+        corners_m = (
+            np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                dtype=np.float64,
+            )
+            * half_mm
+            / 1000.0
+        )
+
+        gt_entries = []
+        info_entries = []
+        color = tuple(int(c) for c in rng.integers(80, 255, size=3))
+
+        for frame in range(frames_per_obj):
+            R_m2c = _random_rotation(rng)
+            t_m = np.array(
+                [rng.uniform(-0.08, 0.08), rng.uniform(-0.06, 0.06), rng.uniform(0.6, 1.1)]
+            )
+            cam_pts = corners_m @ R_m2c.T + t_m
+            z = np.clip(cam_pts[:, 2], 1e-3, None)
+            u = cam_pts[:, 0] * K[0, 0] / z + K[0, 2]
+            v = cam_pts[:, 1] * K[1, 1] / z + K[1, 2]
+
+            x0, x1p = int(np.floor(u.min())), int(np.ceil(u.max()))
+            y0, y1p = int(np.floor(v.min())), int(np.ceil(v.max()))
+            bbox = [x0, y0, x1p - x0, y1p - y0]
+
+            rgb = rng.integers(0, 60, size=(img_h, img_w, 3), dtype=np.uint8)
+            hull = cv2.convexHull(np.stack([u, v], axis=1).astype(np.int32))
+            cv2.fillConvexPoly(rgb, hull, color)
+            # a couple of texture lines so rotation is observable
+            for e in ((0, 3), (5, 6), (1, 4)):
+                p1 = (int(u[e[0]]), int(v[e[0]]))
+                p2 = (int(u[e[1]]), int(v[e[1]]))
+                cv2.line(rgb, p1, p2, (255, 255, 255), 2)
+
+            depth = np.zeros((img_h, img_w), dtype=np.uint16)
+            mask = np.zeros((img_h, img_w), dtype=np.uint8)
+            cv2.fillConvexPoly(mask, hull, 1)
+            depth[mask > 0] = int(t_m[2] * 1000.0)
+
+            # cv2 writes BGR; the loader converts back, so store BGR of our RGB
+            cv2.imwrite(os.path.join(rgb_dir, f"{frame:04d}.png"), rgb[:, :, ::-1])
+            cv2.imwrite(os.path.join(depth_dir, f"{frame:04d}.png"), depth)
+
+            gt_entries.append(
+                (frame, R_m2c.flatten().tolist(), (t_m * 1000.0).tolist(), bbox, obj_id)
+            )
+            info_entries.append((frame, K.flatten().tolist()))
+
+        with open(os.path.join(obj_dir, "gt.yml"), "w") as f:
+            for frame, rmat, tmm, bbox, oid in gt_entries:
+                f.write(f"{frame}:\n")
+                f.write(f"- cam_R_m2c: {rmat}\n")
+                f.write(f"  cam_t_m2c: {tmm}\n")
+                f.write(f"  obj_bb: {bbox}\n")
+                f.write(f"  obj_id: {oid}\n")
+
+        with open(os.path.join(obj_dir, "info.yml"), "w") as f:
+            for frame, kflat in info_entries:
+                f.write(f"{frame}:\n")
+                f.write(f"  cam_K: {kflat}\n")
+                f.write("  depth_scale: 1.0\n")
+
+    with open(os.path.join(model_dir, "models_info.yml"), "w") as f:
+        f.writelines(info_lines)
+
+    return {"data": data_dir, "models": model_dir}
