@@ -1,0 +1,3 @@
+from .pipeline import PipelineConfig, PosePipeline
+
+__all__ = ["PipelineConfig", "PosePipeline"]

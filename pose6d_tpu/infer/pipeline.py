@@ -1,0 +1,183 @@
+"""Unified detect -> crop -> pose inference pipeline, one jitted graph.
+
+The reference runs this as four per-variant scripts with a Python loop over
+detected boxes and host-side cv2 cropping per box
+(scripts/inference/inference_rgb.py:60-142 and siblings). Here the whole
+pipeline — YOLO forward, NMS, best-box selection, device crop+resize,
+normalization, pose forward, pinhole bookkeeping — compiles into ONE jit on
+static shapes, which is what the >=5k frames/sec/chip target requires.
+
+Deployment semantics preserved from the reference:
+  - square crop at 1.2x max(w, h) around the detected box, the exact
+    training recipe (inference_rgb.py:74-96)
+  - "geometric correction": for the learned-translation variants (rgb,
+    rgbd), X/Y are re-derived from predicted Z + bbox center + ORIGINAL K
+    at deployment (inference_rgb.py:99-104, inference_rgbd.py:159-164), so
+    all four variants are geometric in X/Y; only Z provenance differs
+  - rgb_geometric consumes original-frame center + original K
+    (inference_rgb_geometric.py:104-106); rgbd_geometric consumes crop-frame
+    center + crop K (inference_rgbd_geometric.py:144-167)
+  - depth: meters + CNN normalization as in the datasets
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
+from ..geometry.pinhole import adjust_intrinsics_for_crop, pinhole_xy_from_z
+from ..models.posenet import PoseNet, PoseNetConfig
+from ..models.yolo.decode import batched_nms, decode_outputs
+from ..models.yolo.model import YoloConfig, YoloV8
+from ..ops.augment import eval_preprocess
+from ..ops.crop_resize import crop_params_from_bbox, crop_resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    variant: str = "rgb"
+    img_size: int = 224
+    det_size: int = 640
+    conf_thresh: float = 0.25
+    iou_thresh: float = 0.7
+    geometric_correction: bool = True  # re-derive X/Y at deployment
+    compute_dtype: object = jnp.bfloat16
+
+
+class PosePipeline:
+    """Holds both models' variables and exposes a jitted __call__."""
+
+    def __init__(
+        self,
+        pipe_cfg: PipelineConfig,
+        yolo_cfg: YoloConfig,
+        yolo_variables,
+        pose_variables,
+        pose_cfg: Optional[PoseNetConfig] = None,
+    ):
+        self.cfg = pipe_cfg
+        self.yolo_cfg = yolo_cfg
+        self.yolo = YoloV8(yolo_cfg)
+        self.pose_cfg = pose_cfg or PoseNetConfig(
+            variant=pipe_cfg.variant, img_size=pipe_cfg.img_size,
+            dtype=pipe_cfg.compute_dtype,
+        )
+        self.posenet = PoseNet(self.pose_cfg)
+        self.yolo_variables = yolo_variables
+        self.pose_variables = pose_variables
+        self._run = jax.jit(self._run_impl)
+
+    # ------------------------------------------------------------------ core
+
+    def _detect_best(self, frames_f32):
+        """Letterbox -> YOLO -> NMS -> best box per image, mapped back to the
+        original frame. frames are [B, H, W, 3] float in [0, 1]."""
+        B, H, W, _ = frames_f32.shape
+        D = self.cfg.det_size
+        scale = min(D / W, D / H)
+        nh, nw = int(round(H * scale)), int(round(W * scale))
+        pad_t = (D - nh) // 2
+        pad_l = (D - nw) // 2
+        resized = jax.image.resize(frames_f32, (B, nh, nw, 3), "bilinear")
+        canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_f32.dtype)
+        canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
+
+        outputs = self.yolo.apply(self.yolo_variables, canvas)
+        boxes, scores = decode_outputs(outputs, self.yolo_cfg, (D, D))
+        dets = batched_nms(
+            boxes, scores, max_det=8, pre_topk=256,
+            iou_thresh=self.cfg.iou_thresh, conf_thresh=self.cfg.conf_thresh,
+        )
+        # best detection per image (slot 0 is highest-score survivor)
+        best_box = dets["boxes"][:, 0]  # [B, 4] xyxy, letterbox frame
+        best_cls = dets["classes"][:, 0]
+        best_score = dets["scores"][:, 0]
+        # back to original frame
+        x1 = (best_box[:, 0] - pad_l) / scale
+        y1 = (best_box[:, 1] - pad_t) / scale
+        x2 = (best_box[:, 2] - pad_l) / scale
+        y2 = (best_box[:, 3] - pad_t) / scale
+        bbox_xywh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
+        return bbox_xywh, best_cls, best_score, dets
+
+    def _run_impl(self, frames, camera_K, depth_raw_full):
+        cfg = self.cfg
+        S = cfg.img_size
+        frames_f32 = frames.astype(jnp.float32) / 255.0
+
+        bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_f32)
+        cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
+        crops = crop_resize_bilinear(frames_f32 * 255.0, cx1, cy1, csize, S) / 255.0
+        crops = eval_preprocess(crops).astype(cfg.compute_dtype)
+
+        center_orig = jnp.stack(
+            [bbox_xywh[:, 0] + bbox_xywh[:, 2] / 2.0, bbox_xywh[:, 1] + bbox_xywh[:, 3] / 2.0],
+            axis=-1,
+        )
+        scale = S / jnp.maximum(csize, 1.0)
+        # crop-frame bookkeeping (dataset_rgbd.py:147-169); device path never
+        # materializes padding, so pad terms are zero and x1 may be negative
+        K_crop = adjust_intrinsics_for_crop(
+            camera_K, cx1, cy1, jnp.zeros_like(cx1), jnp.zeros_like(cy1), scale
+        )
+        center_crop = jnp.stack(
+            [
+                jnp.clip((center_orig[:, 0] - cx1) * scale, 0, S - 1),
+                jnp.clip((center_orig[:, 1] - cy1) * scale, 0, S - 1),
+            ],
+            axis=-1,
+        )
+
+        kwargs = {"rgb": crops}
+        if cfg.variant == "rgb_geometric":
+            kwargs["bbox_center"] = center_orig
+            kwargs["camera_matrix"] = camera_K
+        elif cfg.variant in ("rgbd", "rgbd_geometric"):
+            depth_crop = crop_resize_bilinear(
+                depth_raw_full[..., None], cx1, cy1, csize, S
+            )[..., 0]
+            if cfg.variant == "rgbd":
+                dn = (depth_crop - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M)
+                dn = jnp.clip(dn, 0.0, 1.0)
+                dn = jnp.where(depth_crop < DEPTH_INVALID_M, 0.0, dn)
+                kwargs["depth"] = dn[..., None].astype(cfg.compute_dtype)
+            else:
+                kwargs["depth_raw"] = depth_crop
+                kwargs["bbox_center"] = center_crop
+                kwargs["camera_matrix"] = K_crop
+
+        rot, trans = self.posenet.apply(self.pose_variables, **kwargs)
+        rot = rot.astype(jnp.float32)
+        trans = trans.astype(jnp.float32)
+
+        if cfg.geometric_correction and cfg.variant in ("rgb", "rgbd"):
+            # deployment-time X/Y re-derivation from predicted Z
+            trans = pinhole_xy_from_z(trans[:, 2], center_orig, camera_K)
+
+        return {
+            "rotation": rot,
+            "translation": trans,
+            "bbox_xywh": bbox_xywh,
+            "class_id": cls_id,
+            "det_score": det_score,
+            "detections": dets,
+        }
+
+    # ------------------------------------------------------------------- API
+
+    def __call__(self, frames, camera_K, depth_raw_full=None):
+        """frames [B, H, W, 3] uint8; camera_K [B, 3, 3] or [3, 3];
+        depth_raw_full [B, H, W] meters (rgbd variants). Returns dict of
+        device arrays."""
+        frames = jnp.asarray(frames)
+        B = frames.shape[0]
+        camera_K = jnp.asarray(camera_K)
+        if camera_K.ndim == 2:
+            camera_K = jnp.broadcast_to(camera_K, (B,) + camera_K.shape)
+        if depth_raw_full is None:
+            depth_raw_full = jnp.zeros(frames.shape[:3], jnp.float32)
+        return self._run(frames, camera_K, jnp.asarray(depth_raw_full))

@@ -1,0 +1,152 @@
+"""YOLOv8 output decoding: DFL expectation, anchors, jit-able batched NMS.
+
+Replaces ultralytics' host-side postprocess (the reference calls
+`yolo(img_path)` and reads `result.boxes`, scripts/inference/inference_rgb.py:60-70)
+with static-shape device code: top-k preselection + greedy NMS inside jit,
+so the full detect -> crop -> pose pipeline compiles into one graph.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .model import YoloConfig
+
+
+def make_anchors(
+    img_size: Tuple[int, int], strides: Sequence[int]
+) -> Tuple[jax.Array, jax.Array]:
+    """Anchor cell-centers (in stride units) + per-anchor stride.
+
+    Returns (anchors [A, 2] (x, y), stride [A]). A = sum_i (H/s_i * W/s_i).
+    """
+    H, W = img_size
+    pts, sts = [], []
+    for s in strides:
+        h, w = H // s, W // s
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5)
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)
+        gx, gy = jnp.meshgrid(xs, ys)
+        pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+        sts.append(jnp.full((h * w,), float(s)))
+    return jnp.concatenate(pts, axis=0), jnp.concatenate(sts, axis=0)
+
+
+def dfl_expectation(box_logits: jax.Array, reg_max: int) -> jax.Array:
+    """Distribution-focal decode: softmax over reg_max bins -> expected
+    distance. [..., 4*reg_max] -> [..., 4] (l, t, r, b) in stride units."""
+    shape = box_logits.shape[:-1]
+    x = box_logits.reshape(*shape, 4, reg_max)
+    p = jax.nn.softmax(x, axis=-1)
+    bins = jnp.arange(reg_max, dtype=p.dtype)
+    return jnp.sum(p * bins, axis=-1)
+
+
+def decode_outputs(
+    outputs: List[Tuple[jax.Array, jax.Array]],
+    cfg: YoloConfig,
+    img_size: Tuple[int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Flatten per-level raw maps into (boxes_xyxy [B, A, 4] pixels,
+    scores [B, A, nc] sigmoid probabilities)."""
+    anchors, strides = make_anchors(img_size, cfg.strides)
+    boxes_all, cls_all = [], []
+    for (box, cls) in outputs:
+        B = box.shape[0]
+        boxes_all.append(box.reshape(B, -1, 4 * cfg.reg_max))
+        cls_all.append(cls.reshape(B, -1, cfg.num_classes))
+    box_logits = jnp.concatenate(boxes_all, axis=1).astype(jnp.float32)
+    cls_logits = jnp.concatenate(cls_all, axis=1).astype(jnp.float32)
+
+    ltrb = dfl_expectation(box_logits, cfg.reg_max)  # [B, A, 4]
+    x1y1 = (anchors[None] - ltrb[..., :2]) * strides[None, :, None]
+    x2y2 = (anchors[None] + ltrb[..., 2:]) * strides[None, :, None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+    scores = jax.nn.sigmoid(cls_logits)
+    return boxes, scores
+
+
+def box_iou_xyxy(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU between [N, 4] and [M, 4] xyxy boxes -> [N, M]."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0.0) * jnp.clip(a[:, 3] - a[:, 1], 0.0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0.0) * jnp.clip(b[:, 3] - b[:, 1], 0.0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(
+    boxes: jax.Array,  # [A, 4] xyxy
+    scores: jax.Array,  # [A, nc]
+    max_det: int = 100,
+    pre_topk: int = 300,
+    iou_thresh: float = 0.7,
+    conf_thresh: float = 0.25,
+) -> dict:
+    """Single-image static-shape class-aware NMS.
+
+    Top-k preselect by best class score, then greedy suppression over the
+    [pre_topk, pre_topk] IoU matrix (class-aware via a per-class offset on
+    box coordinates, the standard batched-NMS trick). Returns fixed-size
+    arrays with a validity mask.
+    """
+    best_score = jnp.max(scores, axis=-1)  # [A]
+    best_cls = jnp.argmax(scores, axis=-1)  # [A]
+
+    k = min(pre_topk, boxes.shape[0])
+    top_score, top_idx = jax.lax.top_k(best_score, k)
+    top_boxes = boxes[top_idx]
+    top_cls = best_cls[top_idx]
+
+    # class offset so different classes never suppress each other
+    span = 1e4
+    off_boxes = top_boxes + (top_cls[:, None].astype(jnp.float32) * span)
+    iou = box_iou_xyxy(off_boxes, off_boxes)  # [k, k]
+
+    keep_conf = top_score >= conf_thresh
+
+    # greedy: candidate i survives unless an earlier (higher-score) survivor
+    # overlaps it above the threshold. scan over rows in score order.
+    def body(kept, i):
+        overlapped = jnp.any((iou[i] >= iou_thresh) & kept & (jnp.arange(k) < i))
+        keep_i = keep_conf[i] & ~overlapped
+        kept = kept.at[i].set(keep_i)
+        return kept, keep_i
+
+    kept, _ = jax.lax.scan(body, jnp.zeros(k, bool), jnp.arange(k))
+
+    # compact the survivors to max_det slots (score-ordered already)
+    keep_score = jnp.where(kept, top_score, -1.0)
+    sel_score, sel = jax.lax.top_k(keep_score, min(max_det, k))
+    valid = sel_score > 0
+    return {
+        "boxes": top_boxes[sel],
+        "scores": jnp.where(valid, sel_score, 0.0),
+        "classes": jnp.where(valid, top_cls[sel], -1),
+        "valid": valid,
+    }
+
+
+def batched_nms(boxes: jax.Array, scores: jax.Array, **kw) -> dict:
+    """vmap of nms_fixed over the batch: [B, A, 4], [B, A, nc] -> dict of
+    [B, max_det, ...]."""
+    return jax.vmap(lambda b, s: nms_fixed(b, s, **kw))(boxes, scores)
+
+
+def detect(
+    model,
+    variables,
+    images: jax.Array,
+    cfg: YoloConfig,
+    **nms_kw,
+) -> dict:
+    """Full inference: forward -> decode -> NMS. Jit-able end to end."""
+    outputs = model.apply(variables, images)
+    boxes, scores = decode_outputs(outputs, cfg, images.shape[1:3])
+    return batched_nms(boxes, scores, **nms_kw)

@@ -1,0 +1,302 @@
+"""Native YOLOv8 training: jitted detection step, device augmentation, mAP.
+
+Owns the loop the reference delegates to ultralytics model.train(...)
+(scripts/training/train_yolo.py:44-57): recipe parity is 5 epochs, imgsz
+640, batch 16, seed 42, resume-from-last. Optimizer mirrors ultralytics'
+'auto' choice for small runs (AdamW, lr 1e-3 with 3-epoch linear warmup,
+weight decay 5e-4). Augmentation (horizontal flip + HSV jitter) runs on
+device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...ops.augment import adjust_brightness, adjust_saturation, _rgb_to_hsv, _hsv_to_rgb
+from .decode import batched_nms, box_iou_xyxy, decode_outputs, dfl_expectation, make_anchors
+from .loss import detection_loss
+from .model import YoloConfig, YoloV8
+
+
+@dataclasses.dataclass(frozen=True)
+class DetTrainConfig:
+    img_size: int = 640
+    batch_size: int = 16
+    epochs: int = 5
+    learning_rate: float = 1e-3
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    flip_p: float = 0.5
+    hsv_h: float = 0.015
+    hsv_s: float = 0.7
+    hsv_v: float = 0.4
+    seed: int = 42
+
+
+def hsv_augment(key: jax.Array, img: jax.Array, cfg: DetTrainConfig) -> jax.Array:
+    """Per-image random HSV gains (ultralytics augment_hsv analogue)."""
+    kh, ks, kv = jax.random.split(key, 3)
+    gh = jax.random.uniform(kh, (), minval=-cfg.hsv_h, maxval=cfg.hsv_h)
+    gs = 1.0 + jax.random.uniform(ks, (), minval=-cfg.hsv_s, maxval=cfg.hsv_s)
+    gv = 1.0 + jax.random.uniform(kv, (), minval=-cfg.hsv_v, maxval=cfg.hsv_v)
+    hsv = _rgb_to_hsv(img)
+    h = (hsv[..., 0] + gh) % 1.0
+    s = jnp.clip(hsv[..., 1] * gs, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] * gv, 0.0, 1.0)
+    return _hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
+def flip_augment(key: jax.Array, img: jax.Array, boxes: jax.Array, p: float, W: int):
+    """Horizontal flip of one image + its xyxy boxes."""
+    take = jax.random.uniform(key, ()) < p
+    flipped = img[:, ::-1]
+    fb = jnp.stack(
+        [W - boxes[:, 2], boxes[:, 1], W - boxes[:, 0], boxes[:, 3]], axis=-1
+    )
+    return jnp.where(take, flipped, img), jnp.where(take, fb, boxes)
+
+
+def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig):
+    anchors, strides = make_anchors((cfg.img_size, cfg.img_size), ycfg.strides)
+
+    def step(params, batch_stats, opt_state, batch, key):
+        k_hsv, k_flip = jax.random.split(key)
+        B = batch["image"].shape[0]
+        imgs = jax.vmap(lambda k, im: hsv_augment(k, im, cfg))(
+            jax.random.split(k_hsv, B), batch["image"]
+        )
+        imgs, boxes = jax.vmap(
+            lambda k, im, bx: flip_augment(k, im, bx, cfg.flip_p, cfg.img_size)
+        )(jax.random.split(k_flip, B), imgs, batch["gt_boxes"])
+
+        def loss_fn(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            box_l = jnp.concatenate(
+                [o[0].reshape(B, -1, 4 * ycfg.reg_max) for o in outputs], axis=1
+            )
+            cls_l = jnp.concatenate(
+                [o[1].reshape(B, -1, ycfg.num_classes) for o in outputs], axis=1
+            )
+            ltrb = dfl_expectation(box_l, ycfg.reg_max)
+            x1y1 = (anchors[None] - ltrb[..., :2]) * strides[None, :, None]
+            x2y2 = (anchors[None] + ltrb[..., 2:]) * strides[None, :, None]
+            pred_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+            losses = detection_loss(
+                box_l, cls_l, pred_boxes, anchors, strides,
+                boxes, batch["gt_labels"], batch["gt_mask"], ycfg.reg_max,
+            )
+            return losses["total"], (losses, updates)
+
+        (total, (losses, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        update, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, update)
+        return params, updates.get("batch_stats", batch_stats), opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+# ------------------------------------------------------------------------ mAP
+
+
+def average_precision(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> float:
+    """All-point-interpolation AP from per-prediction TP flags + scores."""
+    if n_gt == 0 or len(tp) == 0:
+        return 0.0
+    order = np.argsort(-conf)
+    tp = tp[order]
+    fp = ~tp
+    tp_cum = np.cumsum(tp)
+    fp_cum = np.cumsum(fp)
+    recall = tp_cum / n_gt
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
+    # envelope + integrate
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[1.0], precision, [0.0]])
+    mpre = np.maximum.accumulate(mpre[::-1])[::-1]
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def evaluate_map50(
+    predictions: List[dict], ground_truths: List[dict], num_classes: int,
+    iou_thresh: float = 0.5,
+) -> float:
+    """mAP@50 over a list of per-image predictions/gts.
+
+    predictions[i]: {'boxes' [D,4], 'scores' [D], 'classes' [D], 'valid' [D]}
+    ground_truths[i]: {'boxes' [M,4], 'labels' [M], 'mask' [M]}
+    """
+    aps = []
+    for c in range(num_classes):
+        tps, confs = [], []
+        n_gt = 0
+        for pred, gt in zip(predictions, ground_truths):
+            gt_sel = (gt["labels"] == c) & gt["mask"]
+            gt_boxes = gt["boxes"][gt_sel]
+            n_gt += len(gt_boxes)
+            p_sel = (pred["classes"] == c) & pred["valid"]
+            p_boxes = pred["boxes"][p_sel]
+            p_scores = pred["scores"][p_sel]
+            order = np.argsort(-p_scores)
+            matched = np.zeros(len(gt_boxes), bool)
+            for pi in order:
+                if len(gt_boxes) == 0:
+                    tps.append(False)
+                    confs.append(p_scores[pi])
+                    continue
+                ious = np.asarray(
+                    box_iou_xyxy(jnp.asarray(p_boxes[pi][None]), jnp.asarray(gt_boxes))
+                )[0]
+                j = int(np.argmax(ious))
+                if ious[j] >= iou_thresh and not matched[j]:
+                    matched[j] = True
+                    tps.append(True)
+                else:
+                    tps.append(False)
+                confs.append(p_scores[pi])
+        if n_gt == 0:
+            continue
+        aps.append(average_precision(np.asarray(tps), np.asarray(confs), n_gt))
+    return float(np.mean(aps)) if aps else 0.0
+
+
+# -------------------------------------------------------------------- trainer
+
+
+class DetectionTrainer:
+    """5-epoch YOLOv8 finetune on LineMOD (train_yolo.py recipe, native)."""
+
+    def __init__(
+        self,
+        source_root: str,
+        save_dir: str,
+        cfg: DetTrainConfig = DetTrainConfig(),
+        ycfg: Optional[YoloConfig] = None,
+        num_workers: int = 0,
+    ):
+        from ...data.detection import DetectionLoader
+
+        self.cfg = cfg
+        self.train_loader = DetectionLoader(source_root, "train", cfg.img_size)
+        self.val_loader = DetectionLoader(source_root, "val", cfg.img_size)
+        self.ycfg = ycfg or YoloConfig(num_classes=self.train_loader.num_classes)
+        self.model = YoloV8(self.ycfg)
+
+        steps_per_epoch = max(len(self.train_loader) // cfg.batch_size, 1)
+        warmup = int(cfg.warmup_epochs * steps_per_epoch)
+        total = cfg.epochs * steps_per_epoch
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, max(warmup, 1), max(total, 2), cfg.learning_rate * 0.01
+        )
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adamw(sched, weight_decay=cfg.weight_decay),
+        )
+
+        variables = self.model.init(
+            jax.random.key(cfg.seed), jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+        )
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.opt_state = self.tx.init(self.params)
+        self.step_fn = make_det_train_step(self.model, self.tx, cfg, self.ycfg)
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+
+        self._infer = jax.jit(
+            lambda p, bs, im: self._infer_impl(p, bs, im)
+        )
+
+    # ------------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, name: str = "last") -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            os.path.join(self.save_dir, name),
+            {"params": self.params, "batch_stats": self.batch_stats},
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def try_resume(self, name: str = "last") -> bool:
+        path = os.path.join(self.save_dir, name)
+        if not os.path.isdir(path):
+            return False
+        import orbax.checkpoint as ocp
+
+        abstract = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct,
+            {"params": self.params, "batch_stats": self.batch_stats},
+        )
+        restored = ocp.StandardCheckpointer().restore(path, abstract)
+        self.params = restored["params"]
+        self.batch_stats = restored["batch_stats"]
+        return True
+
+    def _infer_impl(self, params, batch_stats, images):
+        outputs = self.model.apply({"params": params, "batch_stats": batch_stats}, images)
+        boxes, scores = decode_outputs(outputs, self.ycfg, images.shape[1:3])
+        return batched_nms(boxes, scores, max_det=10, pre_topk=100)
+
+    def train_epoch(self, epoch: int, rng: np.random.Generator) -> float:
+        loss_sum, n = 0.0, 0
+        key = jax.random.key(self.cfg.seed * 7919 + epoch)
+        for batch in self.train_loader.batches(self.cfg.batch_size, rng, shuffle=True):
+            key, sub = jax.random.split(key)
+            self.params, self.batch_stats, self.opt_state, losses = self.step_fn(
+                self.params, self.batch_stats, self.opt_state, batch, sub
+            )
+            loss_sum += float(losses["total"])
+            n += 1
+        return loss_sum / max(n, 1)
+
+    def validate_map50(self, rng: np.random.Generator) -> float:
+        preds, gts = [], []
+        for batch in self.val_loader.batches(
+            self.cfg.batch_size, rng, shuffle=False, drop_remainder=False
+        ):
+            out = self._infer(self.params, self.batch_stats, jnp.asarray(batch["image"]))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for i in range(len(batch["valid"])):
+                if not batch["valid"][i]:
+                    continue
+                preds.append({k: out[k][i] for k in out})
+                gts.append(
+                    {
+                        "boxes": batch["gt_boxes"][i],
+                        "labels": batch["gt_labels"][i],
+                        "mask": batch["gt_mask"][i],
+                    }
+                )
+        return evaluate_map50(preds, gts, self.ycfg.num_classes)
+
+    def fit(self, epochs: Optional[int] = None) -> float:
+        epochs = epochs or self.cfg.epochs
+        rng = np.random.default_rng(self.cfg.seed)
+        if self.try_resume():
+            print("[yolo] resumed from last checkpoint")
+        for epoch in range(epochs):
+            t0 = time.monotonic()
+            loss = self.train_epoch(epoch, rng)
+            print(
+                f"[yolo] epoch {epoch + 1}/{epochs} loss {loss:.4f} "
+                f"({time.monotonic() - t0:.1f}s)"
+            )
+            self.save_checkpoint("last")
+        map50 = self.validate_map50(rng)
+        self.save_checkpoint("best")
+        print(f"mAP@50: {map50:.4f}")
+        return map50

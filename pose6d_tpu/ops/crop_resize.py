@@ -1,0 +1,99 @@
+"""Device-side batched square crop + bilinear resize.
+
+The deployment-critical half of the preprocessing contract (reference does
+this per-box on the host with cv2, inference_rgb.py:70-142; we do the whole
+batch on device so detect -> crop -> pose runs as ONE jitted graph). The
+sampling convention matches cv2.INTER_LINEAR: pixel centers at half-integer
+coordinates, src = (dst + 0.5) * (size / out) - 0.5, with out-of-bounds
+reads returning 0 (the reference's zero padding).
+
+Crop parameters are per-sample scalars (x1, y1, size) in the ORIGINAL image
+frame — padding never materializes; OOB is handled by masking, which is the
+device-friendly equivalent of cv2.copyMakeBorder + slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def crop_resize_bilinear(
+    images: jax.Array,  # [B, H, W, C] float or uint8
+    x1: jax.Array,  # [B] float crop origin (original frame; may be negative)
+    y1: jax.Array,  # [B]
+    size: jax.Array,  # [B] float crop side length
+    out_size: int,
+) -> jax.Array:
+    """Batched crop+resize -> [B, out_size, out_size, C] float32."""
+    images = images.astype(jnp.float32)
+    B, H, W, C = images.shape
+    S = out_size
+
+    # crop-relative sampling grid (cv2 pixel-center convention). cv2 resizes
+    # the CROP, so samples clamp at the crop border (edge replication inside
+    # the crop window), and crop pixels outside the image read as 0.
+    d = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S  # [S] in (0, 1)
+    rx = d[None, :] * size[:, None] - 0.5  # [B, S] relative to crop
+    ry = d[None, :] * size[:, None] - 0.5  # [B, S]
+
+    def sample_one(img, xs, ys, ox1, oy1, sz):
+        szi = sz.astype(jnp.int32)
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        wx = (xs - x0)[None, :, None]  # [1, S, 1]
+        wy = (ys - y0)[:, None, None]  # [S, 1, 1]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        def gather(yi, xi):
+            # clamp to the crop window (cv2 edge replication within the crop)
+            yi = jnp.clip(yi, 0, szi - 1)
+            xi = jnp.clip(xi, 0, szi - 1)
+            ya = yi + oy1.astype(jnp.int32)
+            xa = xi + ox1.astype(jnp.int32)
+            # crop pixels outside the image are the reference's zero padding
+            valid = (
+                (ya[:, None] >= 0) & (ya[:, None] < H) & (xa[None, :] >= 0) & (xa[None, :] < W)
+            )
+            yc = jnp.clip(ya, 0, H - 1)
+            xc = jnp.clip(xa, 0, W - 1)
+            vals = img[yc][:, xc]  # [S, S, C]
+            return jnp.where(valid[..., None], vals, 0.0)
+
+        v00 = gather(y0i, x0i)
+        v01 = gather(y0i, x0i + 1)
+        v10 = gather(y0i + 1, x0i)
+        v11 = gather(y0i + 1, x0i + 1)
+        top = v00 * (1 - wx) + v01 * wx
+        bot = v10 * (1 - wx) + v11 * wx
+        return top * (1 - wy) + bot * wy
+
+    return jax.vmap(sample_one)(images, rx, ry, x1, y1, size)
+
+
+def crop_params_from_bbox(bbox_xywh: jax.Array, expansion: float = 1.2):
+    """Device-side analogue of compute_crop_params' core: square crop at
+    expansion * max(w, h), integer-truncated origin (int() semantics for the
+    positive/negative cases via trunc), integer size.
+
+    Returns (x1, y1, size) floats ready for crop_resize_bilinear. Matches the
+    host contract: x1 = int(cx - size/2), size = int(size_f).
+    """
+    x, y, w, h = bbox_xywh[..., 0], bbox_xywh[..., 1], bbox_xywh[..., 2], bbox_xywh[..., 3]
+    cx = x + w / 2.0
+    cy = y + h / 2.0
+    size_f = jnp.maximum(w, h) * expansion
+
+    def trunc_like_int(v):
+        # float32-robust int() truncation: the host contract computes these in
+        # float64; when the float32 value sits within 1e-3 of an integer,
+        # snap to it before truncating (e.g. 19.999998 -> 20, not 19).
+        r = jnp.round(v)
+        v = jnp.where(jnp.abs(v - r) < 1e-3, r, v)
+        return jnp.trunc(v)
+
+    x1 = trunc_like_int(cx - size_f / 2.0)
+    y1 = trunc_like_int(cy - size_f / 2.0)
+    size = trunc_like_int(size_f)
+    return x1, y1, size

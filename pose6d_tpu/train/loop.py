@@ -1,0 +1,178 @@
+"""Jitted train/eval steps for the pose networks.
+
+TPU-native redesign of the reference's per-script training loops
+(scripts/training/train_rgb.py:95-162 and siblings): the whole step —
+on-device augmentation, forward, loss, backward, global-norm clip, AdamW
+update, BatchNorm stat update — is ONE jitted function with donated state.
+Evaluation fuses forward + batched ADD metrics into a second jit. The host
+only feeds batches and runs the plateau scheduler between epochs.
+
+Optimizer: AdamW(lr=1e-4, wd=1e-4) + clip_by_global_norm(1.0)
+(train_rgb.py:70,110), with lr exposed via inject_hyperparams so the
+host-side ReduceLROnPlateau can set it without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..geometry.quat import quat_to_mat
+from ..losses.add import add_metrics
+from ..losses.pose_loss import PoseLossConfig, pose_loss
+from ..models.posenet import PoseNet, PoseNetConfig
+from ..ops.augment import AugmentConfig, eval_preprocess, train_augment
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    variant: str = "rgb"
+    img_size: int = 224
+    batch_size: int = 32
+    epochs: int = 75
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    loss: PoseLossConfig = PoseLossConfig()
+    # plateau scheduler (train_rgb adds min_lr=1e-7; others use 0)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    min_lr: float = 0.0
+    # augmentation; grayscale_p > 0 only for the rgb variant (train_rgb.py:46)
+    augment: AugmentConfig = AugmentConfig()
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    def hyperparams(self):
+        return self.opt_state.hyperparams  # from inject_hyperparams
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(learning_rate, weight_decay=cfg.weight_decay),
+        )
+    )(learning_rate=cfg.learning_rate)
+
+
+def model_inputs(variant: str, batch: Dict[str, jax.Array], rgb: jax.Array) -> dict:
+    """Wire the per-variant forward signature from the superset batch.
+
+    Matches the reference's calling conventions: rgb_geometric consumes the
+    ORIGINAL-frame center + intrinsics (train_rgb_geometric.py:105,
+    dataset_rgb.py:96,140-141) while rgbd_geometric consumes the crop-frame
+    center + crop intrinsics (train_rgbd_geometric.py:107,
+    dataset_rgbd.py:147-169)."""
+    kwargs: dict = {"rgb": rgb}
+    if variant == "rgb_geometric":
+        kwargs["bbox_center"] = batch["center_orig"]
+        kwargs["camera_matrix"] = batch["cam_K"]
+    elif variant == "rgbd":
+        kwargs["depth"] = batch["depth"]
+    elif variant == "rgbd_geometric":
+        kwargs["depth_raw"] = batch["depth_raw"]
+        kwargs["bbox_center"] = batch["center_crop"]
+        kwargs["camera_matrix"] = batch["cam_K_crop"]
+    return kwargs
+
+
+def create_train_state(cfg: TrainConfig, rng: jax.Array, model: Optional[PoseNet] = None):
+    """Initialize model + optimizer state with dummy batch shapes."""
+    model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size))
+    S = cfg.img_size
+    dummy = {
+        "rgb": jnp.zeros((2, S, S, 3)),
+        "depth": jnp.zeros((2, S, S, 1)),
+        "depth_raw": jnp.zeros((2, S, S)),
+        "center_orig": jnp.zeros((2, 2)),
+        "center_crop": jnp.zeros((2, 2)),
+        "cam_K": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        "cam_K_crop": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    }
+    kwargs = model_inputs(cfg.variant, dummy, dummy["rgb"])
+    variables = model.init(rng, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state,
+                       step=jnp.zeros((), jnp.int32))
+    return model, tx, state
+
+
+def make_train_step(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
+    """Build the jitted train step: (state, batch, key) -> (state, metrics)."""
+
+    def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        k_aug, k_drop = jax.random.split(key)
+        rgb = train_augment(k_aug, batch["rgb"], cfg.augment)
+
+        def loss_fn(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                train=True,
+                rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+                **model_inputs(cfg.variant, batch, rgb),
+            )
+            pred_rot, pred_trans = outputs
+            loss = pose_loss(pred_rot, pred_trans, batch["quat"], batch["trans"], cfg.loss)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        update, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, update)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
+    """Build the jitted eval step: forward + batched ADD metrics.
+
+    `evaluator` is an ADDEvaluator; its device arrays are closed over. The
+    'valid' mask excludes padded rows of the final batch, so per-batch means
+    match the reference's un-padded batches exactly."""
+    points = evaluator.points
+    diameters = evaluator.diameters
+    symmetric = evaluator.symmetric
+    present = evaluator.present
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        rgb = eval_preprocess(batch["rgb"])
+        pred_rot, pred_trans = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            train=False,
+            **model_inputs(cfg.variant, batch, rgb),
+        )
+        obj_ids = jnp.where(batch["valid"], batch["obj_id"], -1)
+        metrics = add_metrics(
+            points, diameters, symmetric, present,
+            quat_to_mat(pred_rot), pred_trans,
+            quat_to_mat(batch["quat"]), batch["trans"], obj_ids,
+        )
+        loss = pose_loss(pred_rot, pred_trans, batch["quat"], batch["trans"], cfg.loss)
+        metrics["loss"] = loss
+        metrics["pred_rot"] = pred_rot
+        metrics["pred_trans"] = pred_trans
+        return metrics
+
+    return jax.jit(step)

@@ -1,0 +1,174 @@
+"""The pose-model trainer: epoch loop, validation, plateau schedule, ckpt.
+
+One Trainer replaces the reference's four near-identical training scripts
+(scripts/training/train_{rgb,rgb_geometric,rgbd,rgbd_geometric}.py); the
+variant comes from TrainConfig. Semantics preserved:
+  - per-epoch validation on ADD metrics, aggregated as the MEAN OF PER-BATCH
+    MEANS (train_rgb.py:124-139) — the exact quantity the plateau scheduler
+    and best-checkpoint gate consume
+  - ReduceLROnPlateau(mode='max', factor=0.5, patience=5) on val ADD-0.1d
+  - last checkpoint every epoch, best on improvement, resume restores
+    model+opt+epoch+best (+ scheduler state, which the reference drops)
+Observability added beyond the reference: per-epoch CSV metrics log and
+wall-clock/step timing, plus optional jax.profiler tracing.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..data.pipeline import LineMODPoseLoader
+from ..losses.add import ADDEvaluator
+from .checkpoint import CheckpointManager
+from .loop import TrainConfig, create_train_state, make_eval_step, make_train_step
+from .schedule import ReduceLROnPlateau
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        data_root: str,
+        mesh_dir: str,
+        save_dir: str,
+        seed: int = 0,
+        num_workers: int = 8,
+        profile_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.seed = seed
+        self.profile_dir = profile_dir
+
+        flavor = "rgbd" if cfg.variant.startswith("rgbd") else "rgb"
+        self.train_loader = LineMODPoseLoader(
+            data_root, mode="train", flavor=flavor, img_size=cfg.img_size,
+            num_workers=num_workers,
+        )
+        self.val_loader = LineMODPoseLoader(
+            data_root, mode="val", flavor=flavor, img_size=cfg.img_size,
+            augment_bbox=False, num_workers=num_workers,
+        )
+
+        self.evaluator = ADDEvaluator(mesh_dir)
+        self.model, self.tx, self.state = create_train_state(cfg, jax.random.key(seed))
+        self.train_step = make_train_step(self.model, self.tx, cfg)
+        self.eval_step = make_eval_step(self.model, cfg, self.evaluator)
+
+        self.scheduler = ReduceLROnPlateau(
+            lr=cfg.learning_rate, factor=cfg.plateau_factor,
+            patience=cfg.plateau_patience, min_lr=cfg.min_lr,
+        )
+        self.ckpt = CheckpointManager(save_dir)
+        self.start_epoch = 0
+        self.best_acc = 0.0
+        self._metrics_path = os.path.join(save_dir, "metrics.csv")
+
+    # ------------------------------------------------------------------ resume
+
+    def try_resume(self) -> bool:
+        restored = self.ckpt.restore(self.state)
+        if restored is None:
+            return False
+        self.state = restored["state"]
+        self.start_epoch = int(restored["meta"]["epoch"]) + 1
+        self.best_acc = float(restored["meta"]["best_acc"])
+        self.scheduler.load_state_dict(restored["scheduler"])
+        print(f"Resumed at epoch {self.start_epoch}, best accuracy: {self.best_acc:.2f}%")
+        return True
+
+    # ------------------------------------------------------------------- train
+
+    def _set_lr(self, lr: float) -> None:
+        self.state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+
+    def train_epoch(self, epoch: int, rng: np.random.Generator) -> dict:
+        cfg = self.cfg
+        loss_sum, n_batches = 0.0, 0
+        t0 = time.monotonic()
+        key = jax.random.key(self.seed * 100003 + epoch)
+        for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
+            key, sub = jax.random.split(key)
+            self.state, metrics = self.train_step(self.state, batch, sub)
+            loss_sum += float(metrics["loss"])
+            n_batches += 1
+        dt = time.monotonic() - t0
+        steps_per_sec = n_batches / dt if dt > 0 else 0.0
+        return {
+            "train_loss": loss_sum / max(n_batches, 1),
+            "steps_per_sec": steps_per_sec,
+            "imgs_per_sec": steps_per_sec * cfg.batch_size,
+        }
+
+    def validate(self, rng: np.random.Generator) -> dict:
+        cfg = self.cfg
+        add_sum = add_s_sum = acc_sum = loss_sum = 0.0
+        n_batches = 0
+        for batch in self.val_loader.batches(
+            cfg.batch_size, rng, shuffle=False, drop_remainder=False
+        ):
+            m = self.eval_step(self.state, batch)
+            add_sum += float(m["add_mean"])
+            add_s_sum += float(m["add_s_mean"])
+            acc_sum += float(m["add_01d_acc"])
+            loss_sum += float(m["loss"])
+            n_batches += 1
+        n = max(n_batches, 1)
+        return {
+            "val_add": add_sum / n,
+            "val_add_s": add_s_sum / n,
+            "val_acc": acc_sum / n,
+            "val_loss": loss_sum / n,
+        }
+
+    def fit(self, epochs: Optional[int] = None) -> float:
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        self.try_resume()
+        rng = np.random.default_rng(self.seed)
+
+        log_fields = [
+            "epoch", "train_loss", "val_add", "val_add_s", "val_acc", "lr",
+            "steps_per_sec", "imgs_per_sec",
+        ]
+        write_header = not os.path.exists(self._metrics_path)
+        with open(self._metrics_path, "a", newline="") as fcsv:
+            writer = csv.DictWriter(fcsv, fieldnames=log_fields, extrasaction="ignore")
+            if write_header:
+                writer.writeheader()
+
+            for epoch in range(self.start_epoch, epochs):
+                if self.profile_dir and epoch == self.start_epoch + 1:
+                    jax.profiler.start_trace(self.profile_dir)
+                tm = self.train_epoch(epoch, rng)
+                vm = self.validate(rng)
+                if self.profile_dir and epoch == self.start_epoch + 1:
+                    jax.profiler.stop_trace()
+
+                lr = self.scheduler.step(vm["val_acc"])
+                self._set_lr(lr)
+
+                row = {"epoch": epoch, "lr": lr, **tm, **vm}
+                writer.writerow(row)
+                fcsv.flush()
+                print(
+                    f"Epoch {epoch + 1}/{epochs}  Loss: {tm['train_loss']:.4f} | "
+                    f"ADD: {vm['val_add']:.1f}mm | ADD-0.1d: {vm['val_acc']:.1f}% | "
+                    f"LR: {lr:.2e} | {tm['imgs_per_sec']:.0f} img/s"
+                )
+
+                is_best = vm["val_acc"] > self.best_acc
+                if is_best:
+                    self.best_acc = vm["val_acc"]
+                    print(f"  New best model saved (ADD-0.1d: {self.best_acc:.2f}%)")
+                self.ckpt.save(
+                    self.state, epoch, self.best_acc, vm["val_acc"], vm["val_add"],
+                    self.scheduler.state_dict(), is_best,
+                )
+        print(f"\nTraining complete. Best ADD-0.1d: {self.best_acc:.2f}%")
+        return self.best_acc

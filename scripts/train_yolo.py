@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Train the YOLOv8 detector on LineMOD (native Flax training).
+
+Replaces the reference's ultralytics wrapper
+(scripts/training/train_yolo.py:27-64): same recipe — 5 epochs, imgsz 640,
+batch 16, seed 42 — with the loop owned by pose6d_tpu.models.yolo.train.
+
+Usage:
+  python scripts/train_yolo.py --data-root datasets/Linemod_preprocessed/data \
+      --save-dir runs/detect/linemod_yolo
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--save-dir", default="runs/detect/linemod_yolo")
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from pose6d_tpu.models.yolo.train import DetTrainConfig, DetectionTrainer
+
+    cfg = DetTrainConfig(
+        img_size=args.img_size, batch_size=args.batch_size,
+        epochs=args.epochs, seed=args.seed,
+    )
+    trainer = DetectionTrainer(args.data_root, args.save_dir, cfg)
+    print(
+        f"Training YOLOv8n: {len(trainer.train_loader)} train / "
+        f"{len(trainer.val_loader)} val images, {trainer.ycfg.num_classes} classes"
+    )
+    map50 = trainer.fit()
+    print(f"mAP@50: {map50:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: this box has ONE cpu, and the suite
+# compiles ~25 distinct ResNet50/YOLO-sized programs (30-90 s each, cold).
+# With the cache, repeat runs finish in a few minutes.
+_cache_dir = os.environ.get("POSE6D_JAX_CACHE", "/tmp/pose6d_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,75 @@
+"""Detection data: prepare_yolo export parity + DetectionLoader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pose6d_tpu.data.detection import (
+    DetectionLoader,
+    convert_bbox_to_yolo,
+    letterbox_params,
+    prepare_yolo_dataset,
+)
+from pose6d_tpu.data.synthetic import generate_synthetic_linemod
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("linemod_det")
+    return generate_synthetic_linemod(str(root), obj_ids=(1, 2), frames_per_obj=20, seed=5)
+
+
+def test_convert_bbox_to_yolo():
+    cx, cy, w, h = convert_bbox_to_yolo((640, 480), [100, 80, 60, 40])
+    np.testing.assert_allclose([cx, cy, w, h], [130 / 640, 100 / 480, 60 / 640, 40 / 480])
+
+
+def test_prepare_yolo_dataset(synth, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("yolo_ready"))
+    stats = prepare_yolo_dataset(synth["data"], dest)
+    assert stats == {"train": 32, "val": 4, "test": 4}
+    # structure matches the reference layout
+    assert os.path.exists(os.path.join(dest, "dataset.yaml"))
+    labels = os.listdir(os.path.join(dest, "labels", "train"))
+    assert len(labels) == 32
+    with open(os.path.join(dest, "labels", "train", sorted(labels)[0])) as f:
+        parts = f.read().split()
+    assert len(parts) == 5 and parts[0] == "0"
+    vals = [float(p) for p in parts[1:]]
+    assert all(0 <= v <= 1 for v in vals)
+    with open(os.path.join(dest, "dataset.yaml")) as f:
+        content = f.read()
+    assert "nc: 2" in content
+
+
+def test_letterbox_params():
+    scale, pl, pt = letterbox_params(640, 480, 640)
+    assert scale == 1.0 and pl == 0 and pt == 80
+
+
+def test_detection_loader(synth):
+    loader = DetectionLoader(synth["data"], "train", img_size=320)
+    assert len(loader) == 32 and loader.num_classes == 2
+    s = loader.load_sample(0)
+    assert s["image"].shape == (320, 320, 3)
+    assert s["gt_mask"][0] and not s["gt_mask"][1:].any()
+    b = s["gt_boxes"][0]
+    assert 0 <= b[0] < b[2] <= 320 and 0 <= b[1] < b[3] <= 320
+    # the box encloses the bright object: mean intensity inside > outside
+    img = s["image"]
+    x1, y1, x2, y2 = b.astype(int)
+    inside = img[y1:y2, x1:x2].mean()
+    assert inside > img.mean()
+
+    rng = np.random.default_rng(0)
+    batch = next(loader.batches(8, rng))
+    assert batch["image"].shape == (8, 320, 320, 3)
+    assert batch["gt_boxes"].shape == (8, 8, 4)
+
+
+def test_class_id_is_folder_index(synth):
+    # folders are 01, 02 -> class ids 0, 1 by sorted index
+    loader = DetectionLoader(synth["data"], "train")
+    ids = {s["folder"]: s["class_id"] for s in loader.samples}
+    assert ids == {"01": 0, "02": 1}

@@ -1,0 +1,108 @@
+"""Unified detect->crop->pose pipeline: jit-ability + variant semantics.
+
+Runs with randomly initialized models (correctness of weights is covered by
+train tests); here we verify the graph wiring: shapes, geometric-correction
+invariants, depth plumbing, and that the whole thing compiles as one jit.
+Uses a small det size to keep CPU runtime down.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose6d_tpu.infer import PipelineConfig, PosePipeline
+from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
+from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
+
+DET = 160
+IMG = 64
+
+
+def _make_pipeline(variant):
+    ycfg = YoloConfig(num_classes=2)
+    yolo = YoloV8(ycfg)
+    yvars = yolo.init(jax.random.key(0), jnp.zeros((1, DET, DET, 3)))
+    pcfg = PoseNetConfig(variant=variant, img_size=IMG, dtype=jnp.float32)
+    pose = PoseNet(pcfg)
+    kwargs = {}
+    if variant == "rgbd":
+        kwargs["depth"] = jnp.zeros((1, IMG, IMG, 1))
+    if variant in ("rgb_geometric", "rgbd_geometric"):
+        kwargs["bbox_center"] = jnp.zeros((1, 2))
+        kwargs["camera_matrix"] = jnp.broadcast_to(jnp.eye(3), (1, 3, 3))
+    if variant == "rgbd_geometric":
+        kwargs["depth_raw"] = jnp.zeros((1, IMG, IMG))
+    pvars = pose.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)), **kwargs)
+    cfg = PipelineConfig(variant=variant, img_size=IMG, det_size=DET,
+                         conf_thresh=0.0, compute_dtype=jnp.float32)
+    return PosePipeline(cfg, ycfg, yvars, pvars, pcfg)
+
+
+@pytest.fixture(scope="module")
+def frames(rng=None):
+    r = np.random.default_rng(0)
+    return r.integers(0, 255, size=(2, 120, 160, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def K():
+    return np.asarray([[150.0, 0, 80], [0, 150.0, 60], [0, 0, 1]], np.float32)
+
+
+def test_rgb_pipeline_shapes_and_correction(frames, K):
+    pipe = _make_pipeline("rgb")
+    out = pipe(frames, K)
+    assert out["rotation"].shape == (2, 4)
+    assert out["translation"].shape == (2, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["rotation"]), axis=-1), 1.0, atol=1e-4
+    )
+    # geometric correction: X/Y satisfy the pinhole relation w.r.t. bbox center
+    t = np.asarray(out["translation"])
+    bb = np.asarray(out["bbox_xywh"])
+    cx = bb[:, 0] + bb[:, 2] / 2
+    cy = bb[:, 1] + bb[:, 3] / 2
+    np.testing.assert_allclose(t[:, 0], (cx - 80.0) * t[:, 2] / 150.0, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(t[:, 1], (cy - 60.0) * t[:, 2] / 150.0, rtol=1e-3, atol=1e-5)
+
+
+def test_rgb_no_correction(frames, K):
+    pipe = _make_pipeline("rgb")
+    # build a separate pipeline with correction off
+    cfg = PipelineConfig(variant="rgb", img_size=IMG, det_size=DET, conf_thresh=0.0,
+                         geometric_correction=False, compute_dtype=jnp.float32)
+    pipe2 = PosePipeline(cfg, pipe.yolo_cfg, pipe.yolo_variables, pipe.pose_variables,
+                         pipe.pose_cfg)
+    out = pipe2(frames, K)
+    # uncorrected translation comes straight from the head: z-bias init 0.5
+    assert out["translation"].shape == (2, 3)
+
+
+def test_rgbd_geometric_uses_depth(frames, K):
+    pipe = _make_pipeline("rgbd_geometric")
+    depth = np.full((2, 120, 160), 0.9, np.float32)
+    out = pipe(frames, K, depth)
+    t = np.asarray(out["translation"])
+    # Z sampled from a constant 0.9 m depth map — unless the (random-weight)
+    # detector put the bbox center outside the frame, where the zero-padded
+    # crop triggers the 0.5 m invalid-depth fallback. Both are correct
+    # plumbing; anything else is a wiring bug.
+    for z in t[:, 2]:
+        assert abs(z - 0.9) < 1e-3 or abs(z - 0.5) < 1e-3, z
+
+
+def test_rgbd_variant_runs(frames, K):
+    pipe = _make_pipeline("rgbd")
+    depth = np.full((2, 120, 160), 0.8, np.float32)
+    out = pipe(frames, K, depth)
+    assert out["rotation"].shape == (2, 4)
+    assert np.isfinite(np.asarray(out["translation"])).all()
+
+
+def test_detections_exposed(frames, K):
+    pipe = _make_pipeline("rgb")
+    out = pipe(frames, K)
+    dets = out["detections"]
+    assert dets["boxes"].shape[0] == 2
+    assert dets["valid"].dtype == bool

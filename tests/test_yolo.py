@@ -1,0 +1,116 @@
+"""YOLOv8: graph shapes, parameter count, decode + NMS semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose6d_tpu.models.yolo.decode import (
+    batched_nms,
+    box_iou_xyxy,
+    decode_outputs,
+    dfl_expectation,
+    make_anchors,
+    nms_fixed,
+)
+from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
+
+
+@pytest.fixture(scope="module")
+def yolo_n():
+    cfg = YoloConfig(num_classes=13)
+    model = YoloV8(cfg)
+    x = jnp.zeros((1, 160, 160, 3))
+    variables = model.init(jax.random.key(0), x)
+    return cfg, model, variables
+
+
+def test_forward_shapes(yolo_n):
+    cfg, model, variables = yolo_n
+    x = jax.random.uniform(jax.random.key(1), (2, 160, 160, 3))
+    outs = model.apply(variables, x)
+    assert len(outs) == 3
+    for (box, cls), s in zip(outs, cfg.strides):
+        assert box.shape == (2, 160 // s, 160 // s, 4 * cfg.reg_max)
+        assert cls.shape == (2, 160 // s, 160 // s, cfg.num_classes)
+
+
+def test_param_count_matches_yolov8n(yolo_n):
+    # ultralytics yolov8n (nc=80) has 3.157M params; with nc=13 slightly
+    # fewer (smaller cls convs). Expect ~2.9-3.2M.
+    _, _, variables = yolo_n
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert 2.8e6 < n < 3.3e6, n
+
+
+def test_make_anchors():
+    anchors, strides = make_anchors((160, 160), (8, 16, 32))
+    n = (160 // 8) ** 2 + (160 // 16) ** 2 + (160 // 32) ** 2
+    assert anchors.shape == (n, 2) and strides.shape == (n,)
+    # first anchor is the (0.5, 0.5) cell center at stride 8
+    np.testing.assert_allclose(np.asarray(anchors[0]), [0.5, 0.5])
+    assert float(strides[0]) == 8.0 and float(strides[-1]) == 32.0
+
+
+def test_dfl_expectation_onehot():
+    # logits strongly peaked at bin k decode to distance k
+    reg_max = 16
+    logits = np.full((1, 4 * reg_max), -20.0, np.float32)
+    for side, k in enumerate([0, 3, 7, 15]):
+        logits[0, side * reg_max + k] = 20.0
+    out = np.asarray(dfl_expectation(jnp.asarray(logits), reg_max))
+    np.testing.assert_allclose(out[0], [0, 3, 7, 15], atol=1e-3)
+
+
+def test_decode_outputs_geometry(yolo_n):
+    cfg, model, variables = yolo_n
+    x = jnp.zeros((1, 160, 160, 3))
+    outs = model.apply(variables, x)
+    boxes, scores = decode_outputs(outs, cfg, (160, 160))
+    A = sum((160 // s) ** 2 for s in cfg.strides)
+    assert boxes.shape == (1, A, 4)
+    assert scores.shape == (1, A, cfg.num_classes)
+    assert (np.asarray(scores) >= 0).all() and (np.asarray(scores) <= 1).all()
+    b = np.asarray(boxes)
+    assert (b[..., 2] >= b[..., 0]).all() and (b[..., 3] >= b[..., 1]).all()
+
+
+def test_box_iou():
+    a = jnp.asarray([[0.0, 0, 10, 10]])
+    b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = np.asarray(box_iou_xyxy(a, b))[0]
+    np.testing.assert_allclose(iou, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [[0.0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 10, 10]]
+    )
+    scores = np.zeros((4, 2), np.float32)
+    scores[0, 0] = 0.9  # best box, class 0
+    scores[1, 0] = 0.8  # overlaps box 0, same class -> suppressed
+    scores[2, 0] = 0.7  # far away -> kept
+    scores[3, 1] = 0.6  # overlaps box 0 but DIFFERENT class -> kept
+    out = nms_fixed(boxes, jnp.asarray(scores), max_det=4, pre_topk=4, iou_thresh=0.5)
+    kept_scores = sorted(np.asarray(out["scores"])[np.asarray(out["valid"])].tolist())
+    np.testing.assert_allclose(kept_scores, [0.6, 0.7, 0.9], atol=1e-6)
+
+
+def test_nms_conf_threshold():
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [50, 50, 60, 60]])
+    scores = np.zeros((2, 2), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 0] = 0.1  # below conf 0.25 -> dropped
+    out = nms_fixed(boxes, jnp.asarray(scores), max_det=2, pre_topk=2)
+    assert int(np.asarray(out["valid"]).sum()) == 1
+
+
+def test_batched_nms_jit():
+    rng = np.random.default_rng(0)
+    boxes = jnp.asarray(rng.uniform(0, 100, size=(2, 64, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].set(boxes[..., :2] + 10.0)
+    scores = jnp.asarray(rng.uniform(0, 1, size=(2, 64, 13)).astype(np.float32))
+    f = jax.jit(lambda b, s: batched_nms(b, s, max_det=10, pre_topk=32))
+    out = f(boxes, scores)
+    assert out["boxes"].shape == (2, 10, 4)
+    assert out["valid"].shape == (2, 10)
