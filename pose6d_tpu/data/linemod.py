@@ -42,8 +42,15 @@ def split_of_index(i: int) -> str:
     return "train"
 
 
-def build_index(root_dir: str, mode: str = "train", require_depth: bool = False) -> List[Sample]:
-    """Scan the LineMOD directory layout into a flat sample list."""
+def build_index(
+    root_dir: str, mode: str = "train", require_depth: bool = False,
+    use_native: bool = True,
+) -> List[Sample]:
+    """Scan the LineMOD directory layout into a flat sample list.
+
+    With use_native (default), gt.yml/info.yml parse through the C++ parser
+    (native/linemod_index.cpp) — the reference's startup hot spot
+    (SURVEY §3.1) — falling back to PyYAML transparently."""
     if not os.path.exists(root_dir):
         raise FileNotFoundError(f"Root dir not found: {root_dir}")
 
@@ -62,10 +69,18 @@ def build_index(root_dir: str, mode: str = "train", require_depth: bool = False)
         if require_depth and not os.path.exists(depth_dir):
             continue
 
-        with open(gt_path, "r") as f:
-            gts = yaml.safe_load(f)
-        with open(info_path, "r") as f:
-            infos = yaml.safe_load(f)
+        gts = infos = None
+        if use_native:
+            from . import _native
+
+            gts = _native.parse_gt(gt_path)
+            infos = _native.parse_info(info_path)
+        if gts is None:
+            with open(gt_path, "r") as f:
+                gts = yaml.safe_load(f)
+        if infos is None:
+            with open(info_path, "r") as f:
+                infos = yaml.safe_load(f)
 
         images = sorted(img for img in os.listdir(rgb_dir) if img.endswith(".png"))
         for i, img_name in enumerate(images):
