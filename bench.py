@@ -1,10 +1,12 @@
 """Benchmark harness: end-to-end frames/sec on one TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-Baseline target (BASELINE.md): >= 5000 frames/sec/chip end-to-end
-detect -> crop -> pose. Until the YOLO detector lands, this measures the
-crop -> preprocess -> pose-net stage (the pose half of the pipeline) in
-bfloat16 as one jitted graph on device; vs_baseline is value / 5000.
+Baseline target (BASELINE.md): >= 5000 frames/sec/chip END-TO-END
+detect -> crop -> pose. Measures the full unified pipeline
+(pose6d_tpu.infer.PosePipeline): letterbox -> YOLOv8n forward -> NMS ->
+best-box -> device crop+resize -> normalize -> PoseNet forward -> pinhole
+correction, all one jitted graph, bf16 compute. Weights are random-init
+(throughput is weight-independent).
 """
 
 import json
@@ -15,64 +17,58 @@ import numpy as np
 BASELINE_FPS = 5000.0
 
 
-def bench_pose_pipeline(batch_size=128, iters=30, warmup=5):
+def bench_e2e(batch_size=64, iters=20, warmup=4):
     import jax
     import jax.numpy as jnp
 
+    from pose6d_tpu.infer import PipelineConfig, PosePipeline
     from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
-    from pose6d_tpu.ops.augment import eval_preprocess
-    from pose6d_tpu.ops.crop_resize import crop_params_from_bbox, crop_resize_bilinear
+    from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
 
-    cfg = PoseNetConfig(variant="rgb", img_size=224, dtype=jnp.bfloat16)
-    model = PoseNet(cfg)
+    ycfg = YoloConfig(num_classes=13, dtype=jnp.bfloat16)
+    yolo = YoloV8(ycfg)
+    yvars = yolo.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3)))
+
+    pcfg = PoseNetConfig(variant="rgb", img_size=224, dtype=jnp.bfloat16)
+    pose = PoseNet(pcfg)
+    pvars = pose.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)))
+
+    pipe = PosePipeline(
+        PipelineConfig(variant="rgb", det_size=640, conf_thresh=0.0,
+                       compute_dtype=jnp.bfloat16),
+        ycfg, yvars, pvars, pcfg,
+    )
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 255, size=(batch_size, 480, 640, 3), dtype=np.uint8)
     )
-    bboxes = jnp.asarray(
-        np.stack(
-            [
-                rng.uniform(50, 400, batch_size),
-                rng.uniform(50, 300, batch_size),
-                rng.uniform(80, 200, batch_size),
-                rng.uniform(80, 160, batch_size),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+    K = jnp.asarray(
+        np.tile(
+            np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32),
+            (batch_size, 1, 1),
+        )
     )
 
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)))
-
-    @jax.jit
-    def pipeline(variables, frames, bboxes):
-        x1, y1, size = crop_params_from_bbox(bboxes)
-        crops = crop_resize_bilinear(frames, x1, y1, size, 224) / 255.0
-        crops = eval_preprocess(crops).astype(jnp.bfloat16)
-        rot, trans = model.apply(variables, crops)
-        return rot.astype(jnp.float32), trans.astype(jnp.float32)
-
-    # warmup / compile
+    out = None
     for _ in range(warmup):
-        rot, trans = pipeline(variables, frames, bboxes)
-    jax.block_until_ready((rot, trans))
+        out = pipe(frames, K)
+    jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        rot, trans = pipeline(variables, frames, bboxes)
-    jax.block_until_ready((rot, trans))
+        out = pipe(frames, K)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-
-    fps = batch_size * iters / dt
-    return fps
+    return batch_size * iters / dt
 
 
 def main():
-    fps = bench_pose_pipeline()
+    fps = bench_e2e()
     print(
         json.dumps(
             {
-                "metric": "crop_pose_frames_per_sec",
+                "metric": "e2e_detect_crop_pose_frames_per_sec",
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),

@@ -34,7 +34,11 @@ from ..models.posenet import PoseNet, PoseNetConfig
 from ..models.yolo.decode import batched_nms, decode_outputs
 from ..models.yolo.model import YoloConfig, YoloV8
 from ..ops.augment import eval_preprocess
-from ..ops.crop_resize import crop_params_from_bbox, crop_resize_bilinear
+from ..ops.crop_resize import (
+    crop_params_from_bbox,
+    crop_resize_bilinear,
+    crop_resize_matmul,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,7 +115,9 @@ class PosePipeline:
 
         bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_f32)
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
-        crops = crop_resize_bilinear(frames_f32 * 255.0, cx1, cy1, csize, S) / 255.0
+        # matmul formulation: bilinear resample as two MXU matmuls (gathers
+        # are slow on TPU); numerically equivalent to the gather path
+        crops = crop_resize_matmul(frames_f32, cx1, cy1, csize, S)
         crops = eval_preprocess(crops).astype(cfg.compute_dtype)
 
         center_orig = jnp.stack(
@@ -137,7 +143,7 @@ class PosePipeline:
             kwargs["bbox_center"] = center_orig
             kwargs["camera_matrix"] = camera_K
         elif cfg.variant in ("rgbd", "rgbd_geometric"):
-            depth_crop = crop_resize_bilinear(
+            depth_crop = crop_resize_matmul(
                 depth_raw_full[..., None], cx1, cy1, csize, S
             )[..., 0]
             if cfg.variant == "rgbd":

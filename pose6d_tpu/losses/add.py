@@ -139,18 +139,25 @@ def _transform_points(points: jax.Array, rot_mat: jax.Array, trans: jax.Array) -
     return jnp.einsum("bpj,bij->bpi", points, rot_mat) + trans[:, None, :]
 
 
-def _pairwise_min_dist(pred_pts: jax.Array, gt_pts: jax.Array) -> jax.Array:
-    """For each predicted point, distance to the nearest GT point: [B, P].
-
-    Uses the squared-distance expansion so the [B, P, P] matrix comes from a
-    single batched matmul (MXU) instead of a [B, P, P, 3] subtraction. Both
-    point sets are centered per sample first: pairwise distances are
-    translation-invariant, and removing the ~1 m camera-frame offset avoids
-    float32 catastrophic cancellation at mm-scale distances.
-    """
+def pairwise_min_dist(pred_pts: jax.Array, gt_pts: jax.Array) -> jax.Array:
+    """Nearest-GT distance per predicted point, with per-sample centering
+    (translation-invariant; avoids fp32 cancellation at mm scales) and a
+    Pallas fast path on TPU that keeps the [P, P] tile in VMEM."""
     center = jnp.mean(gt_pts, axis=1, keepdims=True)
     pred_pts = pred_pts - center
     gt_pts = gt_pts - center
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_addmin import pairwise_min_dist_pallas
+
+        return pairwise_min_dist_pallas(pred_pts, gt_pts)
+    return _pairwise_min_dist(pred_pts, gt_pts)
+
+
+def _pairwise_min_dist(pred_pts: jax.Array, gt_pts: jax.Array) -> jax.Array:
+    """XLA path: for each predicted point, distance to the nearest GT point
+    [B, P], via the squared-distance expansion so the [B, P, P] matrix comes
+    from a single batched matmul (MXU) instead of a [B, P, P, 3] subtraction.
+    Expects pre-centered inputs (see pairwise_min_dist)."""
     pred2 = jnp.sum(pred_pts * pred_pts, axis=-1)  # [B, P]
     gt2 = jnp.sum(gt_pts * gt_pts, axis=-1)  # [B, P]
     cross = jnp.einsum(
@@ -191,7 +198,7 @@ def add_metrics(
     pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
 
     add = jnp.mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), axis=-1)  # [B]
-    add_s = jnp.mean(_pairwise_min_dist(pred_pts, gt_pts), axis=-1)  # [B]
+    add_s = jnp.mean(pairwise_min_dist(pred_pts, gt_pts), axis=-1)  # [B]
 
     effective = jnp.where(sym, add_s, add)
     correct = (effective < 0.1 * diam).astype(jnp.float32)
@@ -229,7 +236,7 @@ def add_loss(
     pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
 
     add = jnp.mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), axis=-1)
-    add_s = jnp.mean(_pairwise_min_dist(pred_pts, gt_pts), axis=-1)
+    add_s = jnp.mean(pairwise_min_dist(pred_pts, gt_pts), axis=-1)
     per_sample = jnp.where(sym, add_s, add)
 
     vmask = valid.astype(jnp.float32)

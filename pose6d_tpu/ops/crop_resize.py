@@ -72,6 +72,58 @@ def crop_resize_bilinear(
     return jax.vmap(sample_one)(images, rx, ry, x1, y1, size)
 
 
+def _interp_matrix(
+    start: jax.Array,  # [B] crop origin along this axis (may be negative)
+    size: jax.Array,  # [B] crop length
+    in_dim: int,
+    out_size: int,
+) -> jax.Array:
+    """Per-sample bilinear interpolation matrix [B, out_size, in_dim].
+
+    Row i carries the two bilinear weights of output pixel i. Encodes the
+    same semantics as the gather path: sample positions clamp to the crop
+    window (cv2 edge replication inside the crop) and crop pixels outside
+    the image contribute zero (the reference's zero padding).
+    """
+    d = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size  # [S]
+    rel = d[None, :] * size[:, None] - 0.5  # [B, S]
+    r0 = jnp.floor(rel)
+    w1 = rel - r0  # weight of the +1 neighbor
+    szi = jnp.maximum(size, 1.0)
+    i0 = jnp.clip(r0, 0.0, szi[:, None] - 1.0)
+    i1 = jnp.clip(r0 + 1.0, 0.0, szi[:, None] - 1.0)
+    a0 = i0 + start[:, None]  # absolute pixel of neighbor 0
+    a1 = i1 + start[:, None]
+    cols = jnp.arange(in_dim, dtype=jnp.float32)[None, None, :]  # [1, 1, D]
+    m0 = (cols == a0[..., None]).astype(jnp.float32) * (1.0 - w1)[..., None]
+    m1 = (cols == a1[..., None]).astype(jnp.float32) * w1[..., None]
+    return m0 + m1  # [B, S, D]; out-of-image columns simply never match
+
+
+def crop_resize_matmul(
+    images: jax.Array,  # [B, H, W, C]
+    x1: jax.Array,
+    y1: jax.Array,
+    size: jax.Array,
+    out_size: int,
+) -> jax.Array:
+    """Crop+resize as two batched matmuls — the MXU-native formulation.
+
+    Bilinear resampling is separable, so instead of 4 gathers per output
+    pixel (gathers are slow on TPU) the whole op becomes
+    V_y [B,S,H] @ img [B,H,W,C] @ V_x^T [B,W,S]: dense matmuls that ride
+    the MXU and fuse with downstream normalize/conv. Numerically identical
+    to `crop_resize_bilinear` (tested); preferred on TPU.
+    """
+    images = images.astype(jnp.float32)
+    B, H, W, C = images.shape
+    S = out_size
+    vy = _interp_matrix(y1, size, H, S)  # [B, S, H]
+    vx = _interp_matrix(x1, size, W, S)  # [B, S, W]
+    tmp = jnp.einsum("bsh,bhwc->bswc", vy, images, preferred_element_type=jnp.float32)
+    return jnp.einsum("btw,bswc->bstc", vx, tmp, preferred_element_type=jnp.float32)
+
+
 def crop_params_from_bbox(bbox_xywh: jax.Array, expansion: float = 1.2):
     """Device-side analogue of compute_crop_params' core: square crop at
     expansion * max(w, h), integer-truncated origin (int() semantics for the

@@ -1,0 +1,79 @@
+"""Pallas TPU kernel: fused pairwise-min distance for ADD-S.
+
+The ADD-S metric needs, for every predicted model point, the distance to
+the nearest ground-truth point (reference: models/add_loss.py:186-189).
+The XLA formulation materializes the [B, P, P] distance matrix in HBM
+(P=500 -> ~1 MB fp32 per sample) before the min-reduce. This kernel keeps
+the whole tile pipeline in VMEM: per batch element, one [P, P] block is
+produced on the MXU (|a|^2 + |b|^2 - 2 a.b^T) and min-reduced in place —
+HBM traffic drops from O(P^2) to O(P) per sample.
+
+Points are padded to a 128-multiple (P=500 -> 512) with +BIG sentinel
+coordinates on the GT side so padded columns never win the min; padded
+pred rows are sliced off by the caller.
+
+Falls back to interpreter mode off-TPU so tests run on the CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _addmin_kernel(pred_ref, gt_ref, out_ref):
+    """One batch element: pred [P, 4], gt [P, 4] (xyz + zero pad) -> min [1, P]."""
+    pred = pred_ref[0]  # [P, 4]
+    gt = gt_ref[0]  # [P, 4]
+    p2 = jnp.sum(pred * pred, axis=-1, keepdims=True)  # [P, 1]
+    g2 = jnp.sum(gt * gt, axis=-1, keepdims=True)  # [P, 1]
+    cross = jnp.dot(pred, gt.T, preferred_element_type=jnp.float32)  # [P, P] on MXU
+    d2 = p2 + g2.T - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    out_ref[0, 0, :] = jnp.sqrt(jnp.min(d2, axis=1))
+
+
+def pairwise_min_dist_pallas(pred_pts: jax.Array, gt_pts: jax.Array) -> jax.Array:
+    """[B, P, 3] x [B, P, 3] -> [B, P] nearest-GT distance per pred point.
+
+    Drop-in replacement for losses.add._pairwise_min_dist. Centering for
+    fp32 safety is the caller's job (as in the jnp path).
+    """
+    B, P, _ = pred_pts.shape
+    Pp = _round_up(P, 128)
+
+    # pad coords to [B, Pp, 4]: lanes like 4 are fine for the last dim of a
+    # matmul operand; sentinel GT rows push padded columns out of the min.
+    def pad(pts, sentinel):
+        out = jnp.zeros((B, Pp, 4), jnp.float32)
+        out = out.at[:, :P, :3].set(pts.astype(jnp.float32))
+        if sentinel and Pp > P:
+            out = out.at[:, P:, :3].set(_BIG)
+        return out
+
+    pred_p = pad(pred_pts, sentinel=False)
+    gt_p = pad(gt_pts, sentinel=True)
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _addmin_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, 4), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Pp, 4), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Pp), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
+        interpret=interpret,
+    )(pred_p, gt_p)
+    return out[:, 0, :P]

@@ -74,7 +74,8 @@ def test_geometric_variant_one_step(synth, tmp_path_factory):
     rng = np.random.default_rng(0)
     batch = next(trainer.train_loader.batches(4, rng, shuffle=False))
     key = jax.random.key(0)
-    state, metrics = trainer.train_step(trainer.state, batch, key)
+    # the step donates its input state — always rebind
+    trainer.state, metrics = trainer.train_step(trainer.state, batch, key)
     assert np.isfinite(float(metrics["loss"]))
 
     # geometric translation is non-learned: depth at center back-projected.
