@@ -86,7 +86,10 @@ class PosePipeline:
         nh, nw = int(round(H * scale)), int(round(W * scale))
         pad_t = (D - nh) // 2
         pad_l = (D - nw) // 2
-        resized = jax.image.resize(frames_f32, (B, nh, nw, 3), "bilinear")
+        if (nh, nw) != (H, W):
+            resized = jax.image.resize(frames_f32, (B, nh, nw, 3), "bilinear")
+        else:
+            resized = frames_f32  # LineMOD 640x480 at det 640: no resample
         canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_f32.dtype)
         canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
 
@@ -116,8 +119,10 @@ class PosePipeline:
         bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_f32)
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
         # matmul formulation: bilinear resample as two MXU matmuls (gathers
-        # are slow on TPU); numerically equivalent to the gather path
-        crops = crop_resize_matmul(frames_f32, cx1, cy1, csize, S)
+        # are slow on TPU); bf16 interpolation feeding a bf16 network
+        crops = crop_resize_matmul(
+            frames_f32, cx1, cy1, csize, S, compute_dtype=cfg.compute_dtype
+        )
         crops = eval_preprocess(crops).astype(cfg.compute_dtype)
 
         center_orig = jnp.stack(

@@ -5,7 +5,12 @@ Owns the loop the reference delegates to ultralytics model.train(...)
 640, batch 16, seed 42, resume-from-last. Optimizer mirrors ultralytics'
 'auto' choice for small runs (AdamW, lr 1e-3 with 3-epoch linear warmup,
 weight decay 5e-4). Augmentation (horizontal flip + HSV jitter) runs on
-device inside the jitted step.
+device inside the jitted step; EMA weights (ramped decay, ModelEMA parity)
+are maintained per step and used for eval/export.
+
+Mosaic note: ultralytics' default close_mosaic=10 disables mosaic for the
+final 10 epochs — with the reference's 5-epoch run, mosaic is therefore OFF
+for the entire training, so this trainer intentionally has none.
 """
 
 from __future__ import annotations
@@ -62,6 +67,12 @@ def flip_augment(key: jax.Array, img: jax.Array, boxes: jax.Array, p: float, W: 
         [W - boxes[:, 2], boxes[:, 1], W - boxes[:, 0], boxes[:, 3]], axis=-1
     )
     return jnp.where(take, flipped, img), jnp.where(take, fb, boxes)
+
+
+def ema_update(ema_params, params, step: jax.Array, decay: float = 0.9999):
+    """Ramped EMA (ultralytics ModelEMA): d = decay * (1 - exp(-step/2000))."""
+    d = decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / 2000.0))
+    return jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema_params, params)
 
 
 def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig):
@@ -194,10 +205,11 @@ class DetectionTrainer:
         self.model = YoloV8(self.ycfg)
 
         steps_per_epoch = max(len(self.train_loader) // cfg.batch_size, 1)
-        warmup = int(cfg.warmup_epochs * steps_per_epoch)
-        total = cfg.epochs * steps_per_epoch
+        total = max(cfg.epochs * steps_per_epoch, 2)
+        # short runs: warmup must leave room for the decay phase
+        warmup = min(max(int(cfg.warmup_epochs * steps_per_epoch), 1), total - 1)
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, cfg.learning_rate, max(warmup, 1), max(total, 2), cfg.learning_rate * 0.01
+            0.0, cfg.learning_rate, warmup, total, cfg.learning_rate * 0.01
         )
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
@@ -210,6 +222,11 @@ class DetectionTrainer:
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)
+        # EMA of params (ultralytics ModelEMA parity); eval/export use EMA.
+        # Real copies, not aliases — the train step donates self.params.
+        self.ema_params = jax.tree.map(jnp.copy, self.params)
+        self.global_step = jnp.zeros((), jnp.int32)
+        self._ema_fn = jax.jit(ema_update, donate_argnums=0)
         self.step_fn = make_det_train_step(self.model, self.tx, cfg, self.ycfg)
         self.save_dir = os.path.abspath(save_dir)
         os.makedirs(self.save_dir, exist_ok=True)
@@ -226,7 +243,8 @@ class DetectionTrainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
             os.path.join(self.save_dir, name),
-            {"params": self.params, "batch_stats": self.batch_stats},
+            {"params": self.params, "batch_stats": self.batch_stats,
+             "ema_params": self.ema_params},
             force=True,
         )
         ckptr.wait_until_finished()
@@ -239,11 +257,17 @@ class DetectionTrainer:
 
         abstract = jax.tree.map(
             ocp.utils.to_shape_dtype_struct,
-            {"params": self.params, "batch_stats": self.batch_stats},
+            {"params": self.params, "batch_stats": self.batch_stats,
+             "ema_params": self.ema_params},
         )
-        restored = ocp.StandardCheckpointer().restore(path, abstract)
+        try:
+            restored = ocp.StandardCheckpointer().restore(path, abstract)
+        except Exception as e:
+            print(f"[yolo] checkpoint restore failed ({e}); starting fresh")
+            return False
         self.params = restored["params"]
         self.batch_stats = restored["batch_stats"]
+        self.ema_params = restored["ema_params"]
         return True
 
     def _infer_impl(self, params, batch_stats, images):
@@ -259,6 +283,8 @@ class DetectionTrainer:
             self.params, self.batch_stats, self.opt_state, losses = self.step_fn(
                 self.params, self.batch_stats, self.opt_state, batch, sub
             )
+            self.global_step = self.global_step + 1
+            self.ema_params = self._ema_fn(self.ema_params, self.params, self.global_step)
             loss_sum += float(losses["total"])
             n += 1
         return loss_sum / max(n, 1)
@@ -268,7 +294,7 @@ class DetectionTrainer:
         for batch in self.val_loader.batches(
             self.cfg.batch_size, rng, shuffle=False, drop_remainder=False
         ):
-            out = self._infer(self.params, self.batch_stats, jnp.asarray(batch["image"]))
+            out = self._infer(self.ema_params, self.batch_stats, jnp.asarray(batch["image"]))
             out = {k: np.asarray(v) for k, v in out.items()}
             for i in range(len(batch["valid"])):
                 if not batch["valid"][i]:

@@ -87,8 +87,17 @@ def model_inputs(variant: str, batch: Dict[str, jax.Array], rgb: jax.Array) -> d
     return kwargs
 
 
-def create_train_state(cfg: TrainConfig, rng: jax.Array, model: Optional[PoseNet] = None):
-    """Initialize model + optimizer state with dummy batch shapes."""
+def create_train_state(
+    cfg: TrainConfig,
+    rng: jax.Array,
+    model: Optional[PoseNet] = None,
+    pretrained_backbone: Optional[str] = None,
+):
+    """Initialize model + optimizer state with dummy batch shapes.
+
+    `pretrained_backbone` optionally points at a torchvision resnet50
+    state_dict (.pth); backbones are then initialized from it (incl. the
+    RGBD depth-branch summed-conv1 init)."""
     model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size))
     S = cfg.img_size
     dummy = {
@@ -101,7 +110,12 @@ def create_train_state(cfg: TrainConfig, rng: jax.Array, model: Optional[PoseNet
         "cam_K_crop": jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
     }
     kwargs = model_inputs(cfg.variant, dummy, dummy["rgb"])
-    variables = model.init(rng, **kwargs)
+    if pretrained_backbone is not None:
+        from ..models.pretrained import init_posenet_with_pretrained
+
+        variables = init_posenet_with_pretrained(model.config, rng, pretrained_backbone)
+    else:
+        variables = model.init(rng, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)

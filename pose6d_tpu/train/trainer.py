@@ -40,6 +40,7 @@ class Trainer:
         seed: int = 0,
         num_workers: int = 8,
         profile_dir: Optional[str] = None,
+        pretrained_backbone: Optional[str] = None,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -56,7 +57,9 @@ class Trainer:
         )
 
         self.evaluator = ADDEvaluator(mesh_dir)
-        self.model, self.tx, self.state = create_train_state(cfg, jax.random.key(seed))
+        self.model, self.tx, self.state = create_train_state(
+            cfg, jax.random.key(seed), pretrained_backbone=pretrained_backbone
+        )
         self.train_step = make_train_step(self.model, self.tx, cfg)
         self.eval_step = make_eval_step(self.model, cfg, self.evaluator)
 

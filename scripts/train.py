@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--num-workers", type=int, default=8)
     ap.add_argument("--profile-dir", default=None,
                     help="emit a jax.profiler trace for the second epoch")
+    ap.add_argument("--pretrained-backbone", default=None,
+                    help="path to a torchvision resnet50 state_dict (.pth) "
+                         "for ImageNet backbone init")
     args = ap.parse_args()
 
     from pose6d_tpu.configs.presets import get_preset
@@ -50,6 +53,7 @@ def main():
     trainer = Trainer(
         cfg, args.data_root, args.mesh_dir, save_dir,
         seed=args.seed, num_workers=args.num_workers, profile_dir=args.profile_dir,
+        pretrained_backbone=args.pretrained_backbone,
     )
     print(f"Train: {len(trainer.train_loader)}, Val: {len(trainer.val_loader)} samples")
     trainer.fit()

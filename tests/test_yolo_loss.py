@@ -109,3 +109,18 @@ def test_detection_loss_empty_image():
     assert np.isfinite(float(out["total"]))
     assert int(out["num_fg"]) == 0
     assert float(out["box"]) == 0.0 and float(out["dfl"]) == 0.0
+
+
+def test_ema_update_ramp():
+    import jax.numpy as jnp
+
+    from pose6d_tpu.models.yolo.train import ema_update
+
+    ema = {"w": jnp.ones(4)}
+    params = {"w": jnp.zeros(4)}
+    # step 1: d ~ 0.9999 * (1 - e^-0.0005) ~ 5e-5 -> ema moves almost to params
+    out1 = ema_update(ema, params, jnp.asarray(1))
+    assert float(out1["w"][0]) < 0.001
+    # large step: d ~ 0.9999 -> ema barely moves
+    out2 = ema_update(ema, params, jnp.asarray(100000))
+    assert float(out2["w"][0]) > 0.999
