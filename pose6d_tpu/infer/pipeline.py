@@ -48,6 +48,7 @@ class PipelineConfig:
     det_size: int = 640
     conf_thresh: float = 0.25
     iou_thresh: float = 0.7
+    nms_pre_topk: int = 64
     geometric_correction: bool = True  # re-derive X/Y at deployment
     compute_dtype: object = jnp.bfloat16
 
@@ -77,30 +78,39 @@ class PosePipeline:
 
     # ------------------------------------------------------------------ core
 
-    def _detect_best(self, frames_f32):
-        """Letterbox -> YOLO -> NMS -> best box per image, mapped back to the
-        original frame. frames are [B, H, W, 3] float in [0, 1]."""
-        B, H, W, _ = frames_f32.shape
-        D = self.cfg.det_size
-        scale = min(D / W, D / H)
-        nh, nw = int(round(H * scale)), int(round(W * scale))
-        pad_t = (D - nh) // 2
-        pad_l = (D - nw) // 2
-        if (nh, nw) != (H, W):
-            resized = jax.image.resize(frames_f32, (B, nh, nw, 3), "bilinear")
+    def _detect_best(self, frames_norm):
+        """YOLO -> NMS -> best box per image, in original-frame coordinates.
+
+        When the frame dims divide the coarsest stride (LineMOD 640x480
+        does), the fully-convolutional detector runs at NATIVE resolution —
+        no letterbox canvas, no coordinate unmapping, ~25% fewer conv FLOPs
+        and two full-frame copies saved. Otherwise falls back to the
+        standard centered letterbox at det_size."""
+        B, H, W, _ = frames_norm.shape
+        stride = max(self.yolo_cfg.strides)
+        if H % stride == 0 and W % stride == 0:
+            scale, pad_l, pad_t = 1.0, 0, 0
+            canvas = frames_norm
+            det_hw = (H, W)
         else:
-            resized = frames_f32  # LineMOD 640x480 at det 640: no resample
-        canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_f32.dtype)
-        canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
+            D = self.cfg.det_size
+            scale = min(D / W, D / H)
+            nh, nw = int(round(H * scale)), int(round(W * scale))
+            pad_t = (D - nh) // 2
+            pad_l = (D - nw) // 2
+            resized = jax.image.resize(frames_norm, (B, nh, nw, 3), "bilinear")
+            canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_norm.dtype)
+            canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
+            det_hw = (D, D)
 
         outputs = self.yolo.apply(self.yolo_variables, canvas)
-        boxes, scores = decode_outputs(outputs, self.yolo_cfg, (D, D))
+        boxes, scores = decode_outputs(outputs, self.yolo_cfg, det_hw)
         dets = batched_nms(
-            boxes, scores, max_det=8, pre_topk=256,
+            boxes, scores, max_det=8, pre_topk=self.cfg.nms_pre_topk,
             iou_thresh=self.cfg.iou_thresh, conf_thresh=self.cfg.conf_thresh,
         )
         # best detection per image (slot 0 is highest-score survivor)
-        best_box = dets["boxes"][:, 0]  # [B, 4] xyxy, letterbox frame
+        best_box = dets["boxes"][:, 0]  # [B, 4] xyxy, det frame
         best_cls = dets["classes"][:, 0]
         best_score = dets["scores"][:, 0]
         # back to original frame
@@ -114,14 +124,17 @@ class PosePipeline:
     def _run_impl(self, frames, camera_K, depth_raw_full):
         cfg = self.cfg
         S = cfg.img_size
-        frames_f32 = frames.astype(jnp.float32) / 255.0
+        # normalize straight into the compute dtype: the uint8 -> f32 full
+        # frames are the biggest tensors in the graph; bf16 halves their
+        # HBM traffic and both consumers (YOLO, crop matmuls) run bf16
+        frames_norm = frames.astype(cfg.compute_dtype) / 255.0
 
-        bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_f32)
+        bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_norm)
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
         # matmul formulation: bilinear resample as two MXU matmuls (gathers
-        # are slow on TPU); bf16 interpolation feeding a bf16 network
+        # are slow on TPU)
         crops = crop_resize_matmul(
-            frames_f32, cx1, cy1, csize, S, compute_dtype=cfg.compute_dtype
+            frames_norm, cx1, cy1, csize, S, compute_dtype=cfg.compute_dtype
         )
         crops = eval_preprocess(crops).astype(cfg.compute_dtype)
 
@@ -190,5 +203,11 @@ class PosePipeline:
         if camera_K.ndim == 2:
             camera_K = jnp.broadcast_to(camera_K, (B,) + camera_K.shape)
         if depth_raw_full is None:
-            depth_raw_full = jnp.zeros(frames.shape[:3], jnp.float32)
+            # cached dummy: allocating 10s-of-MB zeros per call costs real
+            # dispatch time; the jitted graph DCEs it for depth-free variants
+            key = frames.shape[:3]
+            if getattr(self, "_zero_depth_shape", None) != key:
+                self._zero_depth = jnp.zeros(key, jnp.float32)
+                self._zero_depth_shape = key
+            depth_raw_full = self._zero_depth
         return self._run(frames, camera_K, jnp.asarray(depth_raw_full))

@@ -106,3 +106,14 @@ def test_detections_exposed(frames, K):
     dets = out["detections"]
     assert dets["boxes"].shape[0] == 2
     assert dets["valid"].dtype == bool
+
+
+def test_native_resolution_detection_path(K):
+    # frames divisible by the coarsest stride (32) -> no letterbox branch
+    pipe = _make_pipeline("rgb")
+    r = np.random.default_rng(1)
+    frames32 = r.integers(0, 255, size=(2, 96, 128, 3), dtype=np.uint8)
+    out = pipe(frames32, K)
+    assert out["rotation"].shape == (2, 4)
+    bb = np.asarray(out["bbox_xywh"])
+    assert np.isfinite(bb).all()
