@@ -49,6 +49,9 @@ class PipelineConfig:
     conf_thresh: float = 0.25
     iou_thresh: float = 0.7
     nms_pre_topk: int = 64
+    # poses estimated per frame: 1 = best box (single-object LineMOD demo);
+    # >1 = the reference's loop over every detected box, vectorized
+    max_objects: int = 1
     geometric_correction: bool = True  # re-derive X/Y at deployment
     compute_dtype: object = jnp.bfloat16
 
@@ -74,11 +77,14 @@ class PosePipeline:
         self.posenet = PoseNet(self.pose_cfg)
         self.yolo_variables = yolo_variables
         self.pose_variables = pose_variables
+        # variables are ARGUMENTS of the jitted function, not closed-over
+        # constants: embedded 28M-param literals bloat the executable and
+        # inhibit buffer aliasing (measured ~40% of e2e time)
         self._run = jax.jit(self._run_impl)
 
     # ------------------------------------------------------------------ core
 
-    def _detect_best(self, frames_norm):
+    def _detect_best(self, yolo_variables, frames_norm):
         """YOLO -> NMS -> best box per image, in original-frame coordinates.
 
         When the frame dims divide the coarsest stride (LineMOD 640x480
@@ -103,39 +109,59 @@ class PosePipeline:
             canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
             det_hw = (D, D)
 
-        outputs = self.yolo.apply(self.yolo_variables, canvas)
+        outputs = self.yolo.apply(yolo_variables, canvas)
         boxes, scores = decode_outputs(outputs, self.yolo_cfg, det_hw)
         dets = batched_nms(
-            boxes, scores, max_det=8, pre_topk=self.cfg.nms_pre_topk,
+            boxes, scores, max_det=max(8, self.cfg.max_objects),
+            pre_topk=self.cfg.nms_pre_topk,
             iou_thresh=self.cfg.iou_thresh, conf_thresh=self.cfg.conf_thresh,
         )
-        # best detection per image (slot 0 is highest-score survivor)
-        best_box = dets["boxes"][:, 0]  # [B, 4] xyxy, det frame
-        best_cls = dets["classes"][:, 0]
-        best_score = dets["scores"][:, 0]
-        # back to original frame
-        x1 = (best_box[:, 0] - pad_l) / scale
-        y1 = (best_box[:, 1] - pad_t) / scale
-        x2 = (best_box[:, 2] - pad_l) / scale
-        y2 = (best_box[:, 3] - pad_t) / scale
-        bbox_xywh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)
-        return bbox_xywh, best_cls, best_score, dets
+        # all detections mapped back to the original frame, score-ordered
+        b = dets["boxes"]  # [B, D, 4] xyxy in det frame
+        x1 = (b[..., 0] - pad_l) / scale
+        y1 = (b[..., 1] - pad_t) / scale
+        x2 = (b[..., 2] - pad_l) / scale
+        y2 = (b[..., 3] - pad_t) / scale
+        bbox_xywh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)  # [B, D, 4]
+        return bbox_xywh, dets
 
-    def _run_impl(self, frames, camera_K, depth_raw_full):
+    def _run_impl(self, yolo_variables, pose_variables, frames, camera_K, depth_raw_full):
         cfg = self.cfg
         S = cfg.img_size
         # normalize straight into the compute dtype: the uint8 -> f32 full
         # frames are the biggest tensors in the graph; bf16 halves their
         # HBM traffic and both consumers (YOLO, crop matmuls) run bf16
         frames_norm = frames.astype(cfg.compute_dtype) / 255.0
+        B = frames.shape[0]
+        M = cfg.max_objects
 
-        bbox_xywh, cls_id, det_score, dets = self._detect_best(frames_norm)
+        all_bbox_xywh, dets = self._detect_best(yolo_variables, frames_norm)
+        # top-M score-ordered detections per frame, flattened to a [B*M]
+        # pose batch (the reference's per-box Python loop, vectorized:
+        # inference_rgb.py:70)
+        bbox_xywh = all_bbox_xywh[:, :M].reshape(B * M, 4)
+        cls_id = dets["classes"][:, :M].reshape(B * M)
+        det_score = dets["scores"][:, :M].reshape(B * M)
+        det_valid = dets["valid"][:, :M].reshape(B * M)
+        camera_K_m = jnp.repeat(camera_K, M, axis=0) if M > 1 else camera_K
+
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
+
+        def crop_frames(src, dtype):
+            # each of the M crops reads the SAME source frame; loop over the
+            # (small, static) M instead of materializing repeated frames
+            outs = [
+                crop_resize_matmul(
+                    src, cx1.reshape(B, M)[:, m], cy1.reshape(B, M)[:, m],
+                    csize.reshape(B, M)[:, m], S, compute_dtype=dtype,
+                )
+                for m in range(M)
+            ]
+            return jnp.stack(outs, axis=1).reshape(B * M, S, S, src.shape[-1])
+
         # matmul formulation: bilinear resample as two MXU matmuls (gathers
         # are slow on TPU)
-        crops = crop_resize_matmul(
-            frames_norm, cx1, cy1, csize, S, compute_dtype=cfg.compute_dtype
-        )
+        crops = crop_frames(frames_norm, cfg.compute_dtype)
         crops = eval_preprocess(crops).astype(cfg.compute_dtype)
 
         center_orig = jnp.stack(
@@ -146,7 +172,7 @@ class PosePipeline:
         # crop-frame bookkeeping (dataset_rgbd.py:147-169); device path never
         # materializes padding, so pad terms are zero and x1 may be negative
         K_crop = adjust_intrinsics_for_crop(
-            camera_K, cx1, cy1, jnp.zeros_like(cx1), jnp.zeros_like(cy1), scale
+            camera_K_m, cx1, cy1, jnp.zeros_like(cx1), jnp.zeros_like(cy1), scale
         )
         center_crop = jnp.stack(
             [
@@ -159,11 +185,9 @@ class PosePipeline:
         kwargs = {"rgb": crops}
         if cfg.variant == "rgb_geometric":
             kwargs["bbox_center"] = center_orig
-            kwargs["camera_matrix"] = camera_K
+            kwargs["camera_matrix"] = camera_K_m
         elif cfg.variant in ("rgbd", "rgbd_geometric"):
-            depth_crop = crop_resize_matmul(
-                depth_raw_full[..., None], cx1, cy1, csize, S
-            )[..., 0]
+            depth_crop = crop_frames(depth_raw_full[..., None], jnp.float32)[..., 0]
             if cfg.variant == "rgbd":
                 dn = (depth_crop - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M)
                 dn = jnp.clip(dn, 0.0, 1.0)
@@ -174,20 +198,24 @@ class PosePipeline:
                 kwargs["bbox_center"] = center_crop
                 kwargs["camera_matrix"] = K_crop
 
-        rot, trans = self.posenet.apply(self.pose_variables, **kwargs)
+        rot, trans = self.posenet.apply(pose_variables, **kwargs)
         rot = rot.astype(jnp.float32)
         trans = trans.astype(jnp.float32)
 
         if cfg.geometric_correction and cfg.variant in ("rgb", "rgbd"):
             # deployment-time X/Y re-derivation from predicted Z
-            trans = pinhole_xy_from_z(trans[:, 2], center_orig, camera_K)
+            trans = pinhole_xy_from_z(trans[:, 2], center_orig, camera_K_m)
+
+        def shape_out(x):
+            return x.reshape(B, M, *x.shape[1:]) if M > 1 else x
 
         return {
-            "rotation": rot,
-            "translation": trans,
-            "bbox_xywh": bbox_xywh,
-            "class_id": cls_id,
-            "det_score": det_score,
+            "rotation": shape_out(rot),
+            "translation": shape_out(trans),
+            "bbox_xywh": shape_out(bbox_xywh),
+            "class_id": shape_out(cls_id),
+            "det_score": shape_out(det_score),
+            "det_valid": shape_out(det_valid),
             "detections": dets,
         }
 
@@ -210,4 +238,7 @@ class PosePipeline:
                 self._zero_depth = jnp.zeros(key, jnp.float32)
                 self._zero_depth_shape = key
             depth_raw_full = self._zero_depth
-        return self._run(frames, camera_K, jnp.asarray(depth_raw_full))
+        return self._run(
+            self.yolo_variables, self.pose_variables, frames, camera_K,
+            jnp.asarray(depth_raw_full),
+        )

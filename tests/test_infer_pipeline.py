@@ -117,3 +117,20 @@ def test_native_resolution_detection_path(K):
     assert out["rotation"].shape == (2, 4)
     bb = np.asarray(out["bbox_xywh"])
     assert np.isfinite(bb).all()
+
+
+def test_multi_object_mode(frames, K):
+    # max_objects > 1: the reference's per-box loop, vectorized
+    base = _make_pipeline("rgb")
+    cfg = PipelineConfig(variant="rgb", img_size=IMG, det_size=DET, conf_thresh=0.0,
+                         max_objects=3, compute_dtype=jnp.float32)
+    pipe = PosePipeline(cfg, base.yolo_cfg, base.yolo_variables, base.pose_variables,
+                        base.pose_cfg)
+    out = pipe(frames, K)
+    assert out["rotation"].shape == (2, 3, 4)
+    assert out["translation"].shape == (2, 3, 3)
+    assert out["bbox_xywh"].shape == (2, 3, 4)
+    assert out["det_valid"].shape == (2, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["rotation"]), axis=-1), 1.0, atol=1e-4
+    )
