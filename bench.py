@@ -40,9 +40,14 @@ def bench_e2e(batch_size=64, iters=20, warmup=4):
     )
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(
-        rng.integers(0, 255, size=(batch_size, 480, 640, 3), dtype=np.uint8)
-    )
+    # a pool of DISTINCT device-resident input batches, cycled per
+    # iteration: repeated identical executes can be deduped/cached by the
+    # runtime, which inflates throughput unrealistically
+    n_pool = 4
+    pool = [
+        jnp.asarray(rng.integers(0, 255, size=(batch_size, 480, 640, 3), dtype=np.uint8))
+        for _ in range(n_pool)
+    ]
     K = jnp.asarray(
         np.tile(
             np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32),
@@ -50,15 +55,13 @@ def bench_e2e(batch_size=64, iters=20, warmup=4):
         )
     )
 
-    out = None
-    for _ in range(warmup):
-        out = pipe(frames, K)
-    jax.block_until_ready(out)
+    outs = [pipe(pool[i % n_pool], K) for i in range(warmup)]
+    jax.block_until_ready(outs)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = pipe(frames, K)
-    jax.block_until_ready(out)
+    outs = [pipe(pool[i % n_pool], K) for i in range(iters)]
+    # block on EVERY output: all iterations' compute must have completed
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

@@ -123,8 +123,15 @@ def crop_resize_matmul(
     vy = _interp_matrix(y1, size, H, S).astype(compute_dtype)  # [B, S, H]
     vx = _interp_matrix(x1, size, W, S).astype(compute_dtype)  # [B, S, W]
     images = images.astype(compute_dtype)
-    tmp = jnp.einsum("bsh,bhwc->bswc", vy, images, preferred_element_type=compute_dtype)
-    out = jnp.einsum("btw,bswc->bstc", vx, tmp, preferred_element_type=compute_dtype)
+    # both contractions shaped as proper batched matmuls with wide N
+    # (a naive 'btw,bswc' second einsum leaves N=C=3 -> ~40x MXU padding):
+    #   rows: [S, H] @ [H, W*C]        -> tmp [B, S, W, C]
+    #   cols: [S, W] @ [W, S*C]        -> out [B, Sx, Sy, C] -> transpose
+    tmp = jnp.einsum("bsh,bhd->bsd", vy, images.reshape(B, H, W * C),
+                     preferred_element_type=compute_dtype)
+    tmp = tmp.reshape(B, S, W, C).transpose(0, 2, 1, 3).reshape(B, W, S * C)
+    out = jnp.einsum("btw,bwd->btd", vx, tmp, preferred_element_type=compute_dtype)
+    out = out.reshape(B, S, S, C).transpose(0, 2, 1, 3)
     return out.astype(jnp.float32)
 
 

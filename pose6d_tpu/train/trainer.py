@@ -71,6 +71,14 @@ class Trainer:
         self.start_epoch = 0
         self.best_acc = 0.0
         self._metrics_path = os.path.join(save_dir, "metrics.csv")
+        # optional TensorBoard summaries (CSV is always written)
+        self._tb = None
+        try:
+            from flax.metrics import tensorboard as _tb_mod
+
+            self._tb = _tb_mod.SummaryWriter(os.path.join(save_dir, "tb"))
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------ resume
 
@@ -159,6 +167,11 @@ class Trainer:
                 row = {"epoch": epoch, "lr": lr, **tm, **vm}
                 writer.writerow(row)
                 fcsv.flush()
+                if self._tb is not None:
+                    for k, v in row.items():
+                        if k != "epoch":
+                            self._tb.scalar(k, v, epoch)
+                    self._tb.flush()
                 print(
                     f"Epoch {epoch + 1}/{epochs}  Loss: {tm['train_loss']:.4f} | "
                     f"ADD: {vm['val_add']:.1f}mm | ADD-0.1d: {vm['val_acc']:.1f}% | "

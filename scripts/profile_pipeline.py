@@ -60,8 +60,10 @@ def main():
     frames = jnp.asarray(rng.integers(0, 255, (B, 480, 640, 3), dtype=np.uint8))
     imgs = (frames.astype(jnp.bfloat16) / 255.0)
 
+    imgs2 = (frames[:, ::-1].astype(jnp.bfloat16) / 255.0)
     f_yolo = jax.jit(lambda v, x: yolo.apply(v, x))
-    outs, t_yolo = timed("yolo_fwd_480x640", f_yolo, yvars, imgs, iters=args.iters)
+    outs, t_yolo = timed("yolo_fwd_480x640", f_yolo, yvars, imgs, iters=args.iters,
+                         variants=[(yvars, imgs), (yvars, imgs2)])
 
     f_decode = jax.jit(lambda o: decode_outputs(o, ycfg, (480, 640)))
     (boxes, scores), t_dec = timed("decode", f_decode, outs, iters=args.iters)
@@ -86,7 +88,9 @@ def main():
         rng.uniform(-1, 1, (B, 224, 224, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
     f_pose = jax.jit(lambda v, x: pose.apply(v, x))
-    _, t_pose = timed("posenet_fwd", f_pose, pvars, crops, iters=args.iters)
+    crops2 = crops[:, ::-1]
+    _, t_pose = timed("posenet_fwd", f_pose, pvars, crops, iters=args.iters,
+                      variants=[(pvars, crops), (pvars, crops2)])
 
     parts = t_yolo + t_dec + t_nms + t_crop + t_pose
     print(f"{'sum of parts':>16}: {parts * 1e3:8.2f} ms -> {B / parts:.0f} fps")
@@ -99,7 +103,9 @@ def main():
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
-    _, t_e2e = timed("e2e_pipeline", lambda f_: pipe(f_, K), frames, iters=args.iters)
+    frames2 = frames[:, ::-1]
+    _, t_e2e = timed("e2e_pipeline", lambda f_: pipe(f_, K), frames, iters=args.iters,
+                     variants=[(frames,), (frames2,)])
     if args.trace_dir:
         jax.profiler.stop_trace()
         print(f"trace written to {args.trace_dir}")
