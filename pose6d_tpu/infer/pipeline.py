@@ -34,11 +34,7 @@ from ..models.posenet import PoseNet, PoseNetConfig
 from ..models.yolo.decode import batched_nms, decode_outputs
 from ..models.yolo.model import YoloConfig, YoloV8
 from ..ops.augment import eval_preprocess
-from ..ops.crop_resize import (
-    crop_params_from_bbox,
-    crop_resize_bilinear,
-    crop_resize_matmul,
-)
+from ..ops.crop_resize import crop_params_from_bbox, crop_resize_matmul
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,15 +20,18 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 import numpy as np
 
 
-def timed(name, f, *args, iters=10):
+def timed(name, f, *args, iters=10, variants=None):
+    """Times f over `iters` calls. `variants` (list of arg tuples) cycles
+    distinct inputs so runtime-level dedup/caching of identical executes
+    cannot inflate throughput; blocks on EVERY output."""
     import jax
 
-    out = f(*args)
+    pools = variants or [args]
+    out = f(*pools[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
+    outs = [f(*pools[i % len(pools)]) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:>16}: {dt * 1e3:8.2f} ms")
     return out, dt
@@ -39,6 +42,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--bisect", action="store_true",
+                    help="also time partial pipelines (detect-only, detect+crop)")
     args = ap.parse_args()
 
     import jax
@@ -101,9 +106,61 @@ def main():
     K = jnp.broadcast_to(jnp.asarray(np.array(
         [[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32)), (B, 3, 3))
 
+    frames2 = frames[:, ::-1]
+
+    if args.bisect:
+        # partial pipelines: where does the composition overhead live?
+        from pose6d_tpu.ops.crop_resize import crop_params_from_bbox
+
+        @jax.jit
+        def conv_only(fr):
+            return (fr.astype(jnp.bfloat16) / 255.0).sum()
+
+        timed("uint8->bf16/255", conv_only, frames, iters=args.iters,
+              variants=[(frames,), (frames2,)])
+
+        @jax.jit
+        def conv_yolo(yv, fr):
+            fn = fr.astype(jnp.bfloat16) / 255.0
+            outs = pipe.yolo.apply(yv, fn)
+            return [o[0].sum() + o[1].sum() for o in outs]
+
+        timed("conv+yolo", lambda f_: conv_yolo(yvars, f_),
+              frames, iters=args.iters, variants=[(frames,), (frames2,)])
+
+        @jax.jit
+        def conv_yolo_decode(yv, fr):
+            fn = fr.astype(jnp.bfloat16) / 255.0
+            outs = pipe.yolo.apply(yv, fn)
+            b, s = decode_outputs(outs, ycfg, (480, 640))
+            return b.sum(), s.sum()
+
+        timed("conv+yolo+decode", lambda f_: conv_yolo_decode(yvars, f_),
+              frames, iters=args.iters, variants=[(frames,), (frames2,)])
+
+        @jax.jit
+        def detect_only(yv, fr):
+            fn = fr.astype(jnp.bfloat16) / 255.0
+            bbox, dets = pipe._detect_best(yv, fn)
+            return bbox, dets["scores"]
+
+        _, t_det = timed("e2e_detect_only", lambda f_: detect_only(yvars, f_),
+                         frames, iters=args.iters, variants=[(frames,), (frames2,)])
+
+        @jax.jit
+        def detect_crop(yv, fr):
+            fn = fr.astype(jnp.bfloat16) / 255.0
+            bbox, dets = pipe._detect_best(yv, fn)
+            b0 = bbox[:, 0]
+            cx1, cy1, csize = crop_params_from_bbox(b0)
+            crops = crop_resize_matmul(fn, cx1, cy1, csize, 224, jnp.bfloat16)
+            return crops.sum()
+
+        _, t_dc = timed("e2e_detect_crop", lambda f_: detect_crop(yvars, f_),
+                        frames, iters=args.iters, variants=[(frames,), (frames2,)])
+
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
-    frames2 = frames[:, ::-1]
     _, t_e2e = timed("e2e_pipeline", lambda f_: pipe(f_, K), frames, iters=args.iters,
                      variants=[(frames,), (frames2,)])
     if args.trace_dir:
