@@ -126,8 +126,20 @@ class PosePipeline:
         S = cfg.img_size
         # normalize straight into the compute dtype: the uint8 -> f32 full
         # frames are the biggest tensors in the graph; bf16 halves their
-        # HBM traffic and both consumers (YOLO, crop matmuls) run bf16
-        frames_norm = frames.astype(cfg.compute_dtype) / 255.0
+        # HBM traffic and both consumers (YOLO, crop matmuls) run bf16.
+        # Pallas kernel + optimization barrier: XLA's own uint8 conversion
+        # runs at ~21 GB/s (int8 retiling path), and letting it FUSE into
+        # the first conv costs another ~12.5 ms (measured on chip). The
+        # kernel converts at memory speed; the barrier keeps the result
+        # materialized instead of re-fused.
+        if cfg.compute_dtype == jnp.bfloat16 and frames.dtype == jnp.uint8:
+            from ..ops.pallas_convert import uint8_to_unit_bf16
+
+            frames_norm = jax.lax.optimization_barrier(uint8_to_unit_bf16(frames))
+        else:
+            frames_norm = jax.lax.optimization_barrier(
+                frames.astype(cfg.compute_dtype) / 255.0
+            )
         B = frames.shape[0]
         M = cfg.max_objects
 
