@@ -127,19 +127,15 @@ class PosePipeline:
         # normalize straight into the compute dtype: the uint8 -> f32 full
         # frames are the biggest tensors in the graph; bf16 halves their
         # HBM traffic and both consumers (YOLO, crop matmuls) run bf16.
-        # Pallas kernel + optimization barrier: XLA's own uint8 conversion
-        # runs at ~21 GB/s (int8 retiling path), and letting it FUSE into
-        # the first conv costs another ~12.5 ms (measured on chip). The
-        # kernel converts at memory speed; the barrier keeps the result
-        # materialized instead of re-fused.
-        if cfg.compute_dtype == jnp.bfloat16 and frames.dtype == jnp.uint8:
-            from ..ops.pallas_convert import uint8_to_unit_bf16
-
-            frames_norm = jax.lax.optimization_barrier(uint8_to_unit_bf16(frames))
-        else:
-            frames_norm = jax.lax.optimization_barrier(
-                frames.astype(cfg.compute_dtype) / 255.0
-            )
+        # The optimization barrier MATERIALIZES the converted frames: letting
+        # XLA fuse the uint8 conversion into the detector's first conv
+        # forces a catastrophic layout path (+12.5 ms at batch 64, measured
+        # on chip; a hand-written Pallas conversion kernel was also tried
+        # and measured SLOWER than XLA's standalone conversion — the uint8
+        # (32,128) tiling is the wall, not the op count).
+        frames_norm = jax.lax.optimization_barrier(
+            frames.astype(cfg.compute_dtype) / 255.0
+        )
         B = frames.shape[0]
         M = cfg.max_objects
 

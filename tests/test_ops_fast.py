@@ -68,23 +68,3 @@ def test_pallas_addmin_padding_neutral(rng):
     ref = np.asarray(_pairwise_min_dist(pred, gt))
     ours = np.asarray(pairwise_min_dist_pallas(pred, gt))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
-
-
-def test_uint8_to_unit_bf16(rng):
-    from pose6d_tpu.ops.pallas_convert import uint8_to_unit_bf16
-
-    x = rng.integers(0, 256, size=(2, 48, 64, 3), dtype=np.uint8)
-    out = np.asarray(uint8_to_unit_bf16(jnp.asarray(x))).astype(np.float32)
-    ref = x.astype(np.float32) / 255.0
-    assert np.abs(out - ref).max() < 6e-3  # bf16 resolution
-    assert out.min() >= 0.0 and out.max() <= 1.005
-
-
-def test_uint8_to_unit_bf16_odd_shape(rng):
-    # shape not 128-lane-aligned -> jnp fallback, same result
-    from pose6d_tpu.ops.pallas_convert import uint8_to_unit_bf16
-
-    x = rng.integers(0, 256, size=(3, 17, 5, 3), dtype=np.uint8)
-    out = np.asarray(uint8_to_unit_bf16(jnp.asarray(x))).astype(np.float32)
-    ref = x.astype(np.float32) / 255.0
-    assert np.abs(out - ref).max() < 6e-3
