@@ -2,11 +2,18 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Baseline target (BASELINE.md): >= 5000 frames/sec/chip END-TO-END
-detect -> crop -> pose. Measures the full unified pipeline
-(pose6d_tpu.infer.PosePipeline): letterbox -> YOLOv8n forward -> NMS ->
-best-box -> device crop+resize -> normalize -> PoseNet forward -> pinhole
-correction, all one jitted graph, bf16 compute. Weights are random-init
-(throughput is weight-independent).
+detect -> crop -> pose (full unified pipeline: YOLOv8n forward, NMS,
+best-box, device crop+resize, normalize, PoseNet forward, pinhole
+correction; bf16 compute; random-init weights — throughput is
+weight-independent).
+
+Measurement method: host-side timing is unreliable on tunneled/remote
+backends (dispatch is fire-and-forget, completion signals are lazy, and a
+host fetch pays seconds of RTT). Instead, N pipeline iterations are CHAINED
+inside one jit through a data dependency (each iteration's output perturbs
+the next iteration's input), and the per-iteration device time is the
+difference quotient between an N=1+K and an N=1 run — RTT, dispatch, and
+fetch costs cancel.
 """
 
 import json
@@ -17,53 +24,71 @@ import numpy as np
 BASELINE_FPS = 5000.0
 
 
-def bench_e2e(batch_size=64, iters=20, warmup=4):
-    import jax
+def _build_pipeline(batch_size):
     import jax.numpy as jnp
 
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
     from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
     from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
+    import jax
 
     ycfg = YoloConfig(num_classes=13, dtype=jnp.bfloat16)
     yolo = YoloV8(ycfg)
     yvars = yolo.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3)))
-
     pcfg = PoseNetConfig(variant="rgb", img_size=224, dtype=jnp.bfloat16)
     pose = PoseNet(pcfg)
     pvars = pose.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)))
-
     pipe = PosePipeline(
         PipelineConfig(variant="rgb", det_size=640, conf_thresh=0.0,
                        compute_dtype=jnp.bfloat16),
         ycfg, yvars, pvars, pcfg,
     )
-
     rng = np.random.default_rng(0)
-    # a pool of DISTINCT device-resident input batches, cycled per
-    # iteration: repeated identical executes can be deduped/cached by the
-    # runtime, which inflates throughput unrealistically
-    n_pool = 4
-    pool = [
-        jnp.asarray(rng.integers(0, 255, size=(batch_size, 480, 640, 3), dtype=np.uint8))
-        for _ in range(n_pool)
-    ]
+    frames = jnp.asarray(
+        rng.integers(0, 255, size=(batch_size, 480, 640, 3), dtype=np.uint8)
+    )
     K = jnp.asarray(
         np.tile(
             np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]], np.float32),
             (batch_size, 1, 1),
         )
     )
+    return pipe, frames, K
 
-    outs = [pipe(pool[i % n_pool], K) for i in range(warmup)]
-    jax.block_until_ready(outs)
 
+def _timed_chain(pipe, frames, K, n_iters):
+    """Wall time of ONE jit call running n_iters chained pipeline iterations,
+    ending in a tiny host fetch (forces true completion)."""
+    import jax
+    import jax.numpy as jnp
+
+    depth = jnp.zeros(frames.shape[:3], jnp.float32)
+
+    @jax.jit
+    def run_n(yv, pv, fr, K, depth):
+        def body(i, carry):
+            # data dependency: perturb the input with the previous output
+            fr_i = fr + carry
+            out = pipe._run_impl(yv, pv, fr_i, K, depth)
+            return (jnp.sum(out["translation"]) > -1e9).astype(jnp.uint8)
+
+        c = jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
+        return c
+
+    # compile (not timed)
+    run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth)
     t0 = time.perf_counter()
-    outs = [pipe(pool[i % n_pool], K) for i in range(iters)]
-    # block on EVERY output: all iterations' compute must have completed
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    c = run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth)
+    _ = np.asarray(c)  # tiny fetch forces completion of the whole chain
+    return time.perf_counter() - t0
+
+
+def bench_e2e(batch_size=64, chain=20):
+    pipe, frames, K = _build_pipeline(batch_size)
+    t1 = _timed_chain(pipe, frames, K, 1)
+    tn = _timed_chain(pipe, frames, K, 1 + chain)
+    per_iter = max(tn - t1, 1e-9) / chain
+    return batch_size / per_iter
 
 
 def main():
