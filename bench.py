@@ -83,10 +83,13 @@ def _timed_chain(pipe, frames, K, n_iters):
     return time.perf_counter() - t0
 
 
-def bench_e2e(batch_size=64, chain=20):
+def bench_e2e(batch_size=64, chain=200):
+    import sys
+
     pipe, frames, K = _build_pipeline(batch_size)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
+    print(f"[bench] t(N=1)={t1:.3f}s t(N={1 + chain})={tn:.3f}s", file=sys.stderr)
     per_iter = max(tn - t1, 1e-9) / chain
     return batch_size / per_iter
 
