@@ -83,19 +83,79 @@ def _timed_chain(pipe, frames, K, n_iters):
     return time.perf_counter() - t0
 
 
-def bench_e2e(batch_size=64, chain=200):
+def _sum_of_parts(pipe, frames, K, iters=20):
+    """Fallback: time each pipeline stage standalone (distinct inputs per
+    call) and sum. Physically meaningful even when composed-graph timing is
+    unavailable; slightly optimistic about overlap, slightly pessimistic
+    about fusion."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose6d_tpu.models.yolo.decode import batched_nms, decode_outputs
+    from pose6d_tpu.ops.crop_resize import crop_resize_matmul
+
+    B, H, W, _ = frames.shape
+    frames2 = frames[:, ::-1]
+
+    def timed(f, variants):
+        out = f(*variants[0])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [f(*variants[i % len(variants)]) for i in range(iters)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / iters
+
+    conv = jax.jit(lambda fr: fr.astype(jnp.bfloat16) / 255.0)
+    t_conv = timed(conv, [(frames,), (frames2,)])
+    imgs = conv(frames)
+    imgs2 = conv(frames2)
+
+    yolo_fwd = jax.jit(lambda v, x: pipe.yolo.apply(v, x))
+    t_yolo = timed(yolo_fwd, [(pipe.yolo_variables, imgs), (pipe.yolo_variables, imgs2)])
+    outs = yolo_fwd(pipe.yolo_variables, imgs)
+
+    dec = jax.jit(lambda o: decode_outputs(o, pipe.yolo_cfg, (H, W)))
+    t_dec = timed(dec, [(outs,)])
+    boxes, scores = dec(outs)
+
+    nms = jax.jit(lambda b, s: batched_nms(b, s, max_det=8, pre_topk=64, conf_thresh=0.0))
+    t_nms = timed(nms, [(boxes, scores)])
+
+    x1 = jnp.full((B,), 100.0)
+    y1 = jnp.full((B,), 80.0)
+    size = jnp.full((B,), 180.0)
+    crop = jax.jit(lambda im: crop_resize_matmul(im, x1, y1, size, 224, jnp.bfloat16))
+    t_crop = timed(crop, [(imgs,), (imgs2,)])
+    crops = crop(imgs).astype(jnp.bfloat16)
+    crops2 = crop(imgs2).astype(jnp.bfloat16)
+
+    pose_fwd = jax.jit(lambda v, x: pipe.posenet.apply(v, x))
+    t_pose = timed(pose_fwd, [(pipe.pose_variables, crops), (pipe.pose_variables, crops2)])
+
+    return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
+
+
+def bench_e2e(batch_size=64, chain=100):
     import sys
 
     pipe, frames, K = _build_pipeline(batch_size)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
+    dt = tn - t1
     print(f"[bench] t(N=1)={t1:.3f}s t(N={1 + chain})={tn:.3f}s", file=sys.stderr)
-    per_iter = max(tn - t1, 1e-9) / chain
-    return batch_size / per_iter
+    # sanity: 100 chained batch-64 iterations cannot take < 50 ms of device
+    # time; if the difference is smaller, the runtime is not timing honestly
+    # (observed on tunneled backends) -> fall back to per-stage sums
+    if dt > 0.05:
+        return batch_size * chain / dt, "chained_difference"
+    per_iter = _sum_of_parts(pipe, frames, K)
+    print(f"[bench] chained timing unusable (dt={dt:.4f}s); per-stage sum "
+          f"{per_iter * 1e3:.2f} ms/batch", file=sys.stderr)
+    return batch_size / per_iter, "sum_of_parts"
 
 
 def main():
-    fps = bench_e2e()
+    fps, method = bench_e2e()
     print(
         json.dumps(
             {
@@ -103,6 +163,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "method": method,
             }
         )
     )
