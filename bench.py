@@ -100,10 +100,13 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     def timed(f, variants):
         out = f(*variants[0])
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        outs = [f(*variants[i % len(variants)]) for i in range(iters)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / iters
+        reps = []
+        for _ in range(3):  # median-of-3 guards against RTT spikes
+            t0 = time.perf_counter()
+            outs = [f(*variants[i % len(variants)]) for i in range(iters)]
+            jax.block_until_ready(outs)
+            reps.append((time.perf_counter() - t0) / iters)
+        return sorted(reps)[1]
 
     conv = jax.jit(lambda fr: fr.astype(jnp.bfloat16) / 255.0)
     t_conv = timed(conv, [(frames,), (frames2,)])
