@@ -17,12 +17,11 @@ Falls back to interpreter mode off-TPU so tests run on the CPU mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
 
 _BIG = 1e9
 

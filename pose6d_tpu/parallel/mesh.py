@@ -30,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
-
 def make_mesh(
     shape: Optional[Tuple[int, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
@@ -46,15 +45,12 @@ def make_mesh(
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 
-
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
 
-
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """device_put every array leaf with its batch dim over 'data'."""
@@ -67,13 +63,11 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     return jax.tree.map(put, batch)
 
-
 # Megatron-style TP for the head MLPs: column-parallel on even dense layers,
 # row-parallel on odd ones. Matches the naming in models/posenet.py
 # (rot_dense0, trans_dense1, fusion_dense0, z_dense0, ...).
 _TP_COL = re.compile(r"(rot|trans|fusion|z)_dense0$")
 _TP_ROW = re.compile(r"(rot|trans|fusion|z)_dense1$")
-
 
 def param_spec(path: Tuple[str, ...], value: jax.Array, tp: bool) -> P:
     """PartitionSpec for one parameter, given its flattened path."""
@@ -92,7 +86,6 @@ def param_spec(path: Tuple[str, ...], value: jax.Array, tp: bool) -> P:
         # bias/norm of a row-parallel layer live on the full output: replicate
     return P()
 
-
 def shard_params(tree: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
     """device_put a parameter tree with dp-replicated / tp-sharded layout."""
     if tp is None:
@@ -108,12 +101,10 @@ def shard_params(tree: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
         out.append(jax.device_put(v, NamedSharding(mesh, spec)))
     return jax.tree_util.tree_unflatten(treedef, out)
 
-
 def shard_state(state: Any, mesh: Mesh, tp: Optional[bool] = None) -> Any:
     """Shard a TrainState: params/opt_state tp-sharded, everything else
     replicated. optax state mirrors the param tree structure, so the same
     path rules apply to Adam's mu/nu moments."""
-    import dataclasses
 
     from ..train.loop import TrainState
 

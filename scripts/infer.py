@@ -58,7 +58,6 @@ def main():
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
     from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
-    from pose6d_tpu.models.yolo.train import DetectionTrainer  # noqa: F401 (ckpt layout)
     from pose6d_tpu.train.checkpoint import load_model_variables
     from pose6d_tpu.utils import DEFAULT_K, draw_3d_box, draw_axes, load_mesh_corners, project_points
     import jax.numpy as jnp

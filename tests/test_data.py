@@ -15,7 +15,6 @@ import pytest
 from pose6d_tpu.data.crop import (
     compute_crop_params,
     adjust_K_for_crop,
-    crop_resize_image,
     normalize_depth,
 )
 from pose6d_tpu.data.linemod import build_index, split_of_index
