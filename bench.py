@@ -75,8 +75,10 @@ def _timed_chain(pipe, frames, K, n_iters):
         c = jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
         return c
 
-    # compile (not timed)
-    run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth)
+    # warm-up MUST be fetched: on lazy remote backends compile+execute only
+    # happen when a result is actually materialized (block_until_ready is
+    # not sufficient)
+    _ = np.asarray(run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth))
     t0 = time.perf_counter()
     c = run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth)
     _ = np.asarray(c)  # tiny fetch forces completion of the whole chain
@@ -138,7 +140,7 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
 
 
-def bench_e2e(batch_size=64, chain=100):
+def bench_e2e(batch_size=64, chain=400):
     import sys
 
     pipe, frames, K = _build_pipeline(batch_size)

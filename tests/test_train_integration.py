@@ -87,3 +87,20 @@ def test_geometric_variant_one_step(synth, tmp_path_factory):
     gt_t = vb["trans"]
     # z from the depth sensor should be within a few cm of gt z
     assert np.abs(pred_t[:, 2] - gt_t[:, 2]).max() < 0.05
+
+
+@pytest.mark.parametrize("variant,flavor", [("rgb_geometric", "rgb"), ("rgbd", "rgbd")])
+def test_remaining_variants_one_step(synth, tmp_path_factory, variant, flavor):
+    cfg = TrainConfig(
+        variant=variant, img_size=IMG, batch_size=4, epochs=1,
+        augment=AugmentConfig(grayscale_p=0.0),
+    )
+    save_dir = str(tmp_path_factory.mktemp(f"ckpt_{variant}"))
+    trainer = Trainer(cfg, synth["data"], synth["models"], save_dir, seed=2, num_workers=0)
+    rng = np.random.default_rng(0)
+    batch = next(trainer.train_loader.batches(4, rng, shuffle=False))
+    trainer.state, metrics = trainer.train_step(trainer.state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    vb = next(trainer.val_loader.batches(4, rng, shuffle=False, drop_remainder=False))
+    m = trainer.eval_step(trainer.state, vb)
+    assert np.isfinite(float(m["add_mean"]))
