@@ -20,19 +20,54 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 import numpy as np
 
 
-def timed(name, f, *args, iters=10, variants=None):
-    """Times f over `iters` calls. `variants` (list of arg tuples) cycles
-    distinct inputs so runtime-level dedup/caching of identical executes
-    cannot inflate throughput; blocks on EVERY output."""
+_RTT = None
+
+
+def _fetch(out):
+    """Materialize one tiny leaf — on lazy remote backends this is the only
+    thing that actually forces compile+execute."""
     import jax
+
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(leaf).ravel()[:1]
+
+
+def _measure_rtt():
+    """Baseline per-call dispatch+fetch cost of a trivial jit."""
+    import jax
+    import jax.numpy as jnp
+
+    triv = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128))
+    _fetch(triv(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _fetch(triv(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def timed(name, f, *args, iters=10, variants=None):
+    """Times f with a PER-CALL tiny fetch (lazy backends only execute what is
+    materialized; block_until_ready is not sufficient), subtracting the
+    measured trivial-call RTT baseline. Distinct inputs cycle so runtime
+    dedup cannot skip executions."""
+    global _RTT
+    if _RTT is None:
+        _RTT = _measure_rtt()
+        print(f"{'rtt_baseline':>16}: {_RTT * 1e3:8.2f} ms")
 
     pools = variants or [args]
     out = f(*pools[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [f(*pools[i % len(pools)]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    _fetch(out)  # warm: compile + first execute
+    reps = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _fetch(f(*pools[i % len(pools)]))
+        reps.append((time.perf_counter() - t0) / iters)
+    dt = max(sorted(reps)[1] - _RTT, 0.0)
     print(f"{name:>16}: {dt * 1e3:8.2f} ms")
     return out, dt
 
