@@ -153,7 +153,7 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
 
 
-def bench_e2e(batch_size=64, chain=400):
+def bench_e2e(batch_size=128, chain=200):
     import sys
 
     pipe, frames, K = _build_pipeline(batch_size)
