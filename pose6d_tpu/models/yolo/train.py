@@ -117,6 +117,36 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
+def load_yolo_variables(save_dir: str, ycfg: YoloConfig, img_size: int = 640,
+                        prefer: str = "best") -> Optional[dict]:
+    """Restore detector inference variables from a DetectionTrainer checkpoint.
+
+    Returns {'params', 'batch_stats'} with the EMA weights as params (they
+    are what eval/export should use), or None if no checkpoint exists.
+    """
+    import orbax.checkpoint as ocp
+
+    model = YoloV8(ycfg)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
+    abstract = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct,
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {}),
+         "ema_params": variables["params"]},
+    )
+    for name in (prefer, "last" if prefer != "last" else "best"):
+        path = os.path.join(os.path.abspath(save_dir), name)
+        if not os.path.isdir(path):
+            continue
+        try:
+            restored = ocp.StandardCheckpointer().restore(path, abstract)
+        except Exception as e:
+            print(f"[yolo] restore of {path} failed: {e}")
+            continue
+        return {"params": restored["ema_params"], "batch_stats": restored["batch_stats"]}
+    return None
+
+
 # ------------------------------------------------------------------------ mAP
 
 

@@ -57,23 +57,16 @@ def main():
 
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
-    from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
+    from pose6d_tpu.models.yolo.model import YoloConfig
+    from pose6d_tpu.models.yolo.train import load_yolo_variables
     from pose6d_tpu.train.checkpoint import load_model_variables
     from pose6d_tpu.utils import DEFAULT_K, draw_3d_box, draw_axes, load_mesh_corners, project_points
-    import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
-    # ---- load models
+    # ---- load models (detector uses EMA weights)
     ycfg = YoloConfig(num_classes=args.num_classes)
-    yolo = YoloV8(ycfg)
-    abstract = jax.tree.map(
-        ocp.utils.to_shape_dtype_struct,
-        yolo.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3))),
-    )
-    ypath = os.path.join(os.path.abspath(args.yolo_weights), "best")
-    if not os.path.isdir(ypath):
-        ypath = os.path.join(os.path.abspath(args.yolo_weights), "last")
-    yvars = ocp.StandardCheckpointer().restore(ypath, abstract)
+    yvars = load_yolo_variables(args.yolo_weights, ycfg)
+    if yvars is None:
+        sys.exit(f"no detector checkpoint in {args.yolo_weights}")
 
     pose_vars = load_model_variables(args.pose_weights, get_preset(args.variant))
     if pose_vars is None:

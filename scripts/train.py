@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--img-size", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-workers", type=int, default=8)
@@ -44,6 +45,8 @@ def main():
         overrides["epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
+    if args.img_size is not None:
+        overrides["img_size"] = args.img_size
     if args.lr is not None:
         overrides["learning_rate"] = args.lr
     cfg = get_preset(args.variant, **overrides)

@@ -30,24 +30,19 @@ def main():
     import cv2
     import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from pose6d_tpu.data.detection import DetectionLoader
     from pose6d_tpu.models.yolo import YoloConfig, YoloV8, batched_nms, decode_outputs
+    from pose6d_tpu.models.yolo.train import load_yolo_variables
 
     loader = DetectionLoader(args.data_root, "test", img_size=640)
     if len(loader) == 0:
         sys.exit("no test images")
     ycfg = YoloConfig(num_classes=loader.num_classes)
     model = YoloV8(ycfg)
-    abstract = jax.tree.map(
-        ocp.utils.to_shape_dtype_struct,
-        model.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3))),
-    )
-    ypath = os.path.join(os.path.abspath(args.yolo_weights), "best")
-    if not os.path.isdir(ypath):
-        ypath = os.path.join(os.path.abspath(args.yolo_weights), "last")
-    variables = ocp.StandardCheckpointer().restore(ypath, abstract)
+    variables = load_yolo_variables(args.yolo_weights, ycfg)
+    if variables is None:
+        sys.exit(f"no detector checkpoint in {args.yolo_weights}")
 
     os.makedirs(args.out_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
