@@ -34,7 +34,11 @@ from ..models.posenet import PoseNet, PoseNetConfig
 from ..models.yolo.decode import batched_nms, decode_outputs
 from ..models.yolo.model import YoloConfig, YoloV8
 from ..ops.augment import eval_preprocess
-from ..ops.crop_resize import crop_params_from_bbox, crop_resize_matmul
+from ..ops.crop_resize import (
+    crop_params_from_bbox,
+    crop_resize_matmul,
+    crop_resize_matmul_windowed,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +52,10 @@ class PipelineConfig:
     # poses estimated per frame: 1 = best box (single-object LineMOD demo);
     # >1 = the reference's loop over every detected box, vectorized
     max_objects: int = 1
+    # crop via a per-sample window slice instead of full-frame interp
+    # matrices; must exceed the largest expected crop side (LineMOD < 300).
+    # None = full-frame path.
+    crop_window: int | None = 352
     geometric_correction: bool = True  # re-derive X/Y at deployment
     compute_dtype: object = jnp.bfloat16
 
@@ -151,13 +159,22 @@ class PosePipeline:
 
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
 
+        def crop_one(src, xs, ys, ss, dtype):
+            if cfg.crop_window is not None and cfg.crop_window < min(
+                src.shape[1], src.shape[2]
+            ):
+                return crop_resize_matmul_windowed(
+                    src, xs, ys, ss, S, cfg.crop_window, compute_dtype=dtype
+                )
+            return crop_resize_matmul(src, xs, ys, ss, S, compute_dtype=dtype)
+
         def crop_frames(src, dtype):
             # each of the M crops reads the SAME source frame; loop over the
             # (small, static) M instead of materializing repeated frames
             outs = [
-                crop_resize_matmul(
+                crop_one(
                     src, cx1.reshape(B, M)[:, m], cy1.reshape(B, M)[:, m],
-                    csize.reshape(B, M)[:, m], S, compute_dtype=dtype,
+                    csize.reshape(B, M)[:, m], dtype,
                 )
                 for m in range(M)
             ]

@@ -100,6 +100,43 @@ def _interp_matrix(
     return m0 + m1  # [B, S, D]; out-of-image columns simply never match
 
 
+def crop_resize_matmul_windowed(
+    images: jax.Array,  # [B, H, W, C]
+    x1: jax.Array,
+    y1: jax.Array,
+    size: jax.Array,
+    out_size: int,
+    window: int,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Windowed variant of crop_resize_matmul: slice a per-sample
+    [window, window] region first (one dynamic_slice per sample — a
+    contiguous copy, not a gather), then build interpolation matrices over
+    `window` instead of the full H/W. Cuts both the matrix-construction
+    and matmul-K costs by H/window and W/window.
+
+    Correctness requires size <= window - 2 (sizes are clamped to that, so
+    oversized crops lose their outermost border; pick `window` above the
+    largest expected crop — LineMOD boxes stay under ~300 px)."""
+    import jax.lax as lax
+
+    B, H, W, C = images.shape
+    window = min(window, H, W)
+    size = jnp.minimum(size, window - 2)
+
+    wx0 = jnp.clip(jnp.trunc(x1), 0, W - window).astype(jnp.int32)
+    wy0 = jnp.clip(jnp.trunc(y1), 0, H - window).astype(jnp.int32)
+
+    sub = jax.vmap(
+        lambda im, sy, sx: lax.dynamic_slice(im, (sy, sx, 0), (window, window, C))
+    )(images, wy0, wx0)
+
+    return crop_resize_matmul(
+        sub, x1 - wx0.astype(x1.dtype), y1 - wy0.astype(y1.dtype), size,
+        out_size, compute_dtype,
+    )
+
+
 def crop_resize_matmul(
     images: jax.Array,  # [B, H, W, C]
     x1: jax.Array,

@@ -68,3 +68,15 @@ def test_pallas_addmin_padding_neutral(rng):
     ref = np.asarray(_pairwise_min_dist(pred, gt))
     ours = np.asarray(pairwise_min_dist_pallas(pred, gt))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_windowed_crop_matches_full(rng):
+    from pose6d_tpu.ops.crop_resize import crop_resize_matmul_windowed
+
+    imgs = jnp.asarray(rng.integers(0, 255, size=(3, 120, 160, 3)).astype(np.float32))
+    x1 = jnp.asarray([10.0, 100.0, -15.0])   # interior, right edge, off-left
+    y1 = jnp.asarray([5.0, 60.0, -10.0])
+    size = jnp.asarray([60.0, 58.0, 50.0])
+    full = np.asarray(crop_resize_bilinear(imgs, x1, y1, size, 48))
+    win = np.asarray(crop_resize_matmul_windowed(imgs, x1, y1, size, 48, window=64))
+    np.testing.assert_allclose(win, full, atol=1e-2)
