@@ -54,8 +54,10 @@ class PipelineConfig:
     max_objects: int = 1
     # crop via a per-sample window slice instead of full-frame interp
     # matrices; must exceed the largest expected crop side (LineMOD < 300).
-    # None = full-frame path.
-    crop_window: int | None = 352
+    # None (default) = full-frame path: measured FASTER on v5e (5553 vs
+    # 5448 fps at batch 128 — the vmapped dynamic_slice costs more than the
+    # smaller contraction saves). The option is useful for larger frames.
+    crop_window: int | None = None
     geometric_correction: bool = True  # re-derive X/Y at deployment
     compute_dtype: object = jnp.bfloat16
 
