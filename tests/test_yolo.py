@@ -114,3 +114,34 @@ def test_batched_nms_jit():
     out = f(boxes, scores)
     assert out["boxes"].shape == (2, 10, 4)
     assert out["valid"].shape == (2, 10)
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    # the fixpoint iteration must reproduce exact sequential greedy NMS,
+    # including suppression chains (A beats B, B would have beaten C -> C
+    # survives because B is gone)
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = 24
+        centers = rng.uniform(0, 60, size=(n, 2))
+        sizes = rng.uniform(8, 22, size=(n, 2))
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=-1)
+        scores = np.zeros((n, 1), np.float32)
+        scores[:, 0] = np.sort(rng.uniform(0.3, 1.0, n))[::-1]
+
+        out = nms_fixed(
+            jnp.asarray(boxes.astype(np.float32)), jnp.asarray(scores),
+            max_det=n, pre_topk=n, iou_thresh=0.4, conf_thresh=0.0,
+        )
+        ours = set(np.round(np.asarray(out["scores"])[np.asarray(out["valid"])], 5))
+
+        # reference: plain python greedy in score order
+        iou = np.asarray(box_iou_xyxy(jnp.asarray(boxes, dtype=jnp.float32),
+                                      jnp.asarray(boxes, dtype=jnp.float32)))
+        order = np.argsort(-scores[:, 0])
+        kept = []
+        for i in order:
+            if all(iou[j, i] < 0.4 for j in kept):
+                kept.append(i)
+        ref = set(np.round(scores[kept, 0], 5))
+        assert ours == ref, (trial, ours, ref)
