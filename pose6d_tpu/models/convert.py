@@ -103,6 +103,23 @@ def torchvision_resnet50_to_flax(
     return params, stats
 
 
+def s2d_conv1_weights(w7: np.ndarray) -> np.ndarray:
+    """Transform a [7, 7, C, O] stem kernel into the exactly-equivalent
+    [4, 4, 4C, O] kernel for the space-to-depth stem (resnet.py).
+
+    Derivation: pad the 7x7 kernel to 8x8 with a zero row/col at the
+    top-left (turning pad 3/3 into 4/3), then fold each 2x2 tap block into
+    the channel dim: w2[m, n, (dy, dx, c)] = w8[2m + dy, 2n + dx, c]. The
+    4x4/s1 conv on 2x2-block-to-channel input with pad (2,1) reproduces the
+    7x7/s2 conv output exactly (unit-tested)."""
+    kh, kw, C, O = w7.shape
+    assert (kh, kw) == (7, 7)
+    w8 = np.zeros((8, 8, C, O), w7.dtype)
+    w8[1:, 1:] = w7
+    w2 = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    return np.ascontiguousarray(w2.reshape(4, 4, 4 * C, O))
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Load a .pth state_dict via torch (CPU). Accepts either a bare
     state_dict or a checkpoint dict containing 'state_dict' / 'model'."""

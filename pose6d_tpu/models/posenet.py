@@ -35,6 +35,10 @@ class PoseNetConfig:
     variant: str = "rgb"  # rgb | rgb_geometric | rgbd | rgbd_geometric
     img_size: int = 224
     dtype: Any = jnp.float32
+    # space-to-depth stem for the ResNet backbones (exact 7x7/s2 equivalent,
+    # MXU-friendlier; see models/resnet.py). Weight-convertible from
+    # torchvision via convert.s2d_conv1_weights.
+    stem_s2d: bool = False
     # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
     depth_invalid_thresh: float = 0.01
     depth_fallback: float = 0.5
@@ -164,7 +168,7 @@ class PoseNet(nn.Module):
         relu, gelu = nn.relu, nn.gelu
 
         if v == "rgb":
-            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="backbone")(rgb, train=train)
             rot = _mlp_head(
                 feat, (2048, 1024, 512), 4,
                 norms=("batch", "batch", "none"), dropouts=(0.3, 0.2, 0.0),
@@ -178,7 +182,7 @@ class PoseNet(nn.Module):
             )
 
         elif v == "rgb_geometric":
-            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="backbone")(rgb, train=train)
             rot = _mlp_head(
                 feat, (1024, 512), 4,
                 norms=("batch", "batch"), dropouts=(0.3, 0.2),
@@ -201,8 +205,8 @@ class PoseNet(nn.Module):
         elif v == "rgbd":
             assert depth is not None, "rgbd variant requires a normalized depth image"
             xavier = nn.initializers.xavier_uniform()
-            rgb_feat = ResNet50(dtype=cfg.dtype, name="rgb_backbone")(rgb, train=train)
-            depth_feat = ResNet50(dtype=cfg.dtype, in_channels=1, name="depth_backbone")(
+            rgb_feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="rgb_backbone")(rgb, train=train)
+            depth_feat = ResNet50(dtype=cfg.dtype, in_channels=1, stem_space_to_depth=cfg.stem_s2d, name="depth_backbone")(
                 depth, train=train
             )
             rgb_feat = nn.LayerNorm(name="rgb_norm")(rgb_feat)
@@ -229,7 +233,7 @@ class PoseNet(nn.Module):
             trans = head(fused, 3, "trans_", out_bias_init=_z_bias_init(0.5))
 
         elif v == "rgbd_geometric":
-            feat = ResNet50(dtype=cfg.dtype, name="backbone")(rgb, train=train)
+            feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="backbone")(rgb, train=train)
             rot = _mlp_head(
                 feat, (1024, 512), 4,
                 norms=("batch", "batch"), dropouts=(0.3, 0.2),

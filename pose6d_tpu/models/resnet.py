@@ -63,6 +63,12 @@ class ResNet(nn.Module):
     in_channels: int = 3
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # Space-to-depth stem: the 7x7/s2 conv on C=3 input pads its 3 channels
+    # to the MXU's 128 lanes (~40x waste). Rearranging 2x2 pixel blocks into
+    # channels (C -> 4C) makes it an exactly-equivalent 4x4/s1 conv — the
+    # classic MLPerf TPU ResNet trick. Weight-convertible both ways
+    # (convert.py: s2d_conv1_weights).
+    stem_space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -76,7 +82,19 @@ class ResNet(nn.Module):
             axis_name=self.axis_name if train else None,
         )
 
-        x = conv(self.num_filters, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
+        if self.stem_space_to_depth:
+            B, H, W, C = x.shape
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+            x = conv(
+                self.num_filters, (4, 4), strides=(1, 1),
+                padding=[(2, 1), (2, 1)], name="conv1",
+            )(x)
+        else:
+            x = conv(
+                self.num_filters, (7, 7), strides=(2, 2),
+                padding=[(3, 3), (3, 3)], name="conv1",
+            )(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

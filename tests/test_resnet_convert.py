@@ -97,3 +97,39 @@ def test_prefix_support():
         params2["conv1"]["kernel"],
         np.asarray(variables["params"]["conv1"]["kernel"]),
     )
+
+
+def test_space_to_depth_stem_exact_equivalence(rng):
+    # the s2d 4x4/s1 stem with transformed weights must reproduce the
+    # 7x7/s2 stem bit-for-bit (up to fp assoc noise)
+    from pose6d_tpu.models.convert import s2d_conv1_weights
+
+    w7 = rng.normal(scale=0.1, size=(7, 7, 3, 8)).astype(np.float32)
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w7), window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    w2 = s2d_conv1_weights(w7)
+    B, H, W, C = x.shape
+    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    x2 = x2.reshape(B, H // 2, W // 2, 4 * C)
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(x2), jnp.asarray(w2), window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_resnet_s2d_stem_runs():
+    from pose6d_tpu.models.resnet import ResNet50
+
+    m = ResNet50(stem_space_to_depth=True)
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    assert variables["params"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
+    out = m.apply(variables, jax.random.uniform(jax.random.key(1), (2, 64, 64, 3)))
+    assert out.shape == (2, 2048)
