@@ -88,7 +88,7 @@ def nms_fixed(
     pre_topk: int = 300,
     iou_thresh: float = 0.7,
     conf_thresh: float = 0.25,
-    fixpoint_iters: int = 10,
+    fixpoint_iters: int | None = None,
 ) -> dict:
     """Single-image static-shape class-aware NMS.
 
@@ -103,10 +103,11 @@ def nms_fixed(
     and iterating F from all-kept converges in at most the depth of the
     longest suppression chain (S_even shrinks toward / S_odd grows toward
     the greedy set). Each iteration is one fully-parallel [k, k] masked
-    reduction — on TPU, 10 wide steps beat k tiny sequential scan steps by
-    an order of magnitude (a 64-step scan measured ~20 ms of fixed latency
-    per pipeline iteration). Exact for chains <= fixpoint_iters deep;
-    real detection score fields essentially never exceed depth ~5.
+    reduction instead of a scalar-update scan step. fixpoint_iters=None
+    (default) runs k iterations — always exact (a depth-k suppression chain
+    is the worst case); callers may pass fewer as a latency knob, staying
+    exact for chains up to that depth (real detection score fields rarely
+    exceed depth ~5).
     """
     best_score = jnp.max(scores, axis=-1)  # [A]
     best_cls = jnp.argmax(scores, axis=-1)  # [A]
@@ -130,7 +131,8 @@ def nms_fixed(
         overlapped = jnp.any(suppresses & kept[:, None], axis=0)  # [i]
         return keep_conf & ~overlapped
 
-    kept = jax.lax.fori_loop(0, fixpoint_iters, body, keep_conf)
+    n_iters = k if fixpoint_iters is None else fixpoint_iters
+    kept = jax.lax.fori_loop(0, n_iters, body, keep_conf)
 
     # compact the survivors to max_det slots (score-ordered already)
     keep_score = jnp.where(kept, top_score, -1.0)

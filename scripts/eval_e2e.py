@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Full-system evaluation: detector-in-the-loop ADD metrics.
+
+The reference's compare_all_models.py evaluates pose nets on GT-bbox crops;
+this script evaluates the COMPLETE deployed system — trained detector ->
+device crop -> pose net — against ground truth, reporting detection rate,
+class accuracy, and ADD / ADD-S / ADD-0.1d over a split. This is the
+deployment-faithful number (the reference has no equivalent).
+
+Usage:
+  python scripts/eval_e2e.py --variant rgbd_geometric \
+      --data-root .../data --mesh-dir .../models \
+      --yolo-weights runs/detect/linemod_yolo --pose-weights weights_rgbd_geometric
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--variant", required=True,
+                    choices=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"])
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--mesh-dir", required=True)
+    ap.add_argument("--yolo-weights", required=True)
+    ap.add_argument("--pose-weights", required=True)
+    ap.add_argument("--split", default="val", choices=["val", "test"])
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--conf-thresh", type=float, default=0.25)
+    ap.add_argument("--img-size", type=int, default=224)
+    args = ap.parse_args()
+
+    import cv2
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as R
+
+    from pose6d_tpu.configs.presets import get_preset
+    from pose6d_tpu.data.linemod import build_index
+    from pose6d_tpu.infer import PipelineConfig, PosePipeline
+    from pose6d_tpu.losses.add import ADDEvaluator
+    from pose6d_tpu.models.posenet import PoseNetConfig
+    from pose6d_tpu.models.yolo.model import YoloConfig
+    from pose6d_tpu.models.yolo.train import load_yolo_variables
+    from pose6d_tpu.train.checkpoint import load_model_variables
+
+    samples = build_index(args.data_root, args.split,
+                          require_depth=args.variant.startswith("rgbd"))
+    if not samples:
+        sys.exit("no samples in split")
+    # detection classes = sorted folder index; pose obj_id = folder - 1.
+    folders = sorted({f"{s.obj_id + 1:02d}" for s in samples})
+    cls_to_objid = {i: int(f) - 1 for i, f in enumerate(folders)}
+
+    ycfg = YoloConfig(num_classes=len(folders))
+    yvars = load_yolo_variables(args.yolo_weights, ycfg)
+    if yvars is None:
+        sys.exit(f"no detector checkpoint in {args.yolo_weights}")
+    pcfg = get_preset(args.variant, img_size=args.img_size)
+    pvars = load_model_variables(args.pose_weights, pcfg)
+    if pvars is None:
+        sys.exit(f"no pose checkpoint in {args.pose_weights}")
+
+    pipe = PosePipeline(
+        PipelineConfig(variant=args.variant, img_size=args.img_size,
+                       conf_thresh=args.conf_thresh, compute_dtype=jnp.float32),
+        ycfg, yvars, pvars,
+        PoseNetConfig(variant=args.variant, img_size=args.img_size),
+    )
+    evaluator = ADDEvaluator(args.mesh_dir)
+
+    B = args.batch_size
+    tot = {"add": 0.0, "add_s": 0.0, "acc": 0.0, "n_batches": 0,
+           "detected": 0, "cls_correct": 0, "n": 0}
+    for start in range(0, len(samples), B):
+        chunk = samples[start : start + B]
+        frames, depths, gt_q, gt_t, gt_ids = [], [], [], [], []
+        for s in chunk:
+            frames.append(cv2.cvtColor(cv2.imread(s.img_path), cv2.COLOR_BGR2RGB))
+            if args.variant.startswith("rgbd") and s.depth_path:
+                d = cv2.imread(s.depth_path, cv2.IMREAD_UNCHANGED)
+                depths.append(d.astype(np.float32) / 1000.0)
+            else:
+                depths.append(np.zeros(frames[-1].shape[:2], np.float32))
+            gt_q.append(R.from_matrix(s.rot_mat).as_quat())
+            gt_t.append(s.trans_mm / 1000.0)
+            gt_ids.append(s.obj_id)
+
+        K = np.stack([s.cam_K for s in chunk]).astype(np.float32)
+        out = pipe(np.stack(frames), K, np.stack(depths))
+        det_valid = np.asarray(out["det_valid"])
+        pred_cls = np.asarray(out["class_id"])
+        pred_obj = np.asarray([cls_to_objid.get(int(c), -1) for c in pred_cls])
+        gt_ids = np.asarray(gt_ids, np.int32)
+
+        tot["detected"] += int(det_valid.sum())
+        tot["cls_correct"] += int(((pred_obj == gt_ids) & det_valid).sum())
+        tot["n"] += len(chunk)
+
+        m = evaluator.eval_metrics(
+            out["rotation"], out["translation"],
+            jnp.asarray(np.asarray(gt_q, np.float32)),
+            jnp.asarray(np.asarray(gt_t, np.float32)),
+            jnp.asarray(np.where(det_valid, gt_ids, -1)),
+        )
+        tot["add"] += m["add_mean"]
+        tot["add_s"] += m["add_s_mean"]
+        tot["acc"] += m["add_01d_acc"]
+        tot["n_batches"] += 1
+
+    nb = max(tot["n_batches"], 1)
+    print(f"split {args.split}: {tot['n']} frames")
+    print(f"detection rate: {tot['detected'] / tot['n'] * 100:.1f}%  "
+          f"class acc (of detected): "
+          f"{tot['cls_correct'] / max(tot['detected'], 1) * 100:.1f}%")
+    print(f"ADD: {tot['add'] / nb:.1f}mm  ADD-S: {tot['add_s'] / nb:.1f}mm  "
+          f"ADD-0.1d: {tot['acc'] / nb:.2f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,20 @@ def test_nms_fixpoint_matches_sequential_greedy():
                 kept.append(i)
         ref = set(np.round(scores[kept, 0], 5))
         assert ours == ref, (trial, ours, ref)
+
+
+def test_nms_fixpoint_deep_chain():
+    # adversarial suppression chain: boxes in a line, each overlapping only
+    # its neighbors, scores strictly decreasing -> greedy keeps every other
+    # box. Depth ~n/2 alternations stress the fixpoint iterations.
+    n = 16
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        boxes[i] = [i * 6.0, 0.0, i * 6.0 + 10.0, 10.0]  # 4px overlap w/ next
+    scores = np.zeros((n, 1), np.float32)
+    scores[:, 0] = np.linspace(1.0, 0.5, n)
+    out = nms_fixed(jnp.asarray(boxes), jnp.asarray(scores),
+                    max_det=n, pre_topk=n, iou_thresh=0.2, conf_thresh=0.0)
+    kept = np.asarray(out["valid"]).sum()
+    # greedy keeps boxes 0, 2, 4, ... -> n/2 survivors
+    assert int(kept) == n // 2
