@@ -87,6 +87,25 @@ class PosePipeline:
         # constants: embedded 28M-param literals bloat the executable and
         # inhibit buffer aliasing (measured ~40% of e2e time)
         self._run = jax.jit(self._run_impl)
+        self._input_sharding = None
+
+    def shard(self, mesh) -> "PosePipeline":
+        """Distribute inference over a device mesh: frames batch-sharded over
+        'data', detector weights replicated, pose-net weights replicated with
+        Megatron TP on the head MLPs when the mesh has a 'model' axis > 1.
+        GSPMD partitions the single jitted graph; collectives ride ICI.
+        Frame batches must divide the data-axis size. Returns self."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS, shard_params
+
+        self.yolo_variables = shard_params(self.yolo_variables, mesh, tp=False)
+        self.pose_variables = shard_params(self.pose_variables, mesh)
+        self._mesh = mesh
+        self._input_sharding = lambda ndim: NamedSharding(
+            mesh, P(DATA_AXIS, *([None] * (ndim - 1)))
+        )
+        return self
 
     # ------------------------------------------------------------------ core
 
@@ -261,7 +280,13 @@ class PosePipeline:
                 self._zero_depth = jnp.zeros(key, jnp.float32)
                 self._zero_depth_shape = key
             depth_raw_full = self._zero_depth
+        depth_raw_full = jnp.asarray(depth_raw_full)
+        if self._input_sharding is not None:
+            put = lambda x: jax.device_put(x, self._input_sharding(x.ndim))
+            frames, camera_K, depth_raw_full = (
+                put(frames), put(camera_K), put(depth_raw_full),
+            )
         return self._run(
             self.yolo_variables, self.pose_variables, frames, camera_K,
-            jnp.asarray(depth_raw_full),
+            depth_raw_full,
         )

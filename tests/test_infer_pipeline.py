@@ -134,3 +134,27 @@ def test_multi_object_mode(frames, K):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out["rotation"]), axis=-1), 1.0, atol=1e-4
     )
+
+
+def test_sharded_pipeline_matches_single_device(frames, K):
+    # batch sharded over 'data' on the virtual 8-CPU mesh, pose head MLPs
+    # Megatron-sharded over 'model' — outputs must match the unsharded run
+    from pose6d_tpu.parallel import make_mesh
+
+    pipe = _make_pipeline("rgb")
+    r = np.random.default_rng(2)
+    frames8 = r.integers(0, 255, size=(8, 96, 128, 3), dtype=np.uint8)
+    ref = {k: np.asarray(v) for k, v in pipe(frames8, K).items() if k != "detections"}
+
+    mesh = make_mesh((4, 2))
+    sharded = _make_pipeline("rgb")
+    # same weights as the reference pipeline
+    sharded.yolo_variables = pipe.yolo_variables
+    sharded.pose_variables = pipe.pose_variables
+    sharded = sharded.shard(mesh)
+    out = sharded(frames8, K)
+    assert len(out["rotation"].sharding.device_set) == 8
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref[k], rtol=1e-3, atol=1e-4, err_msg=k
+        )
