@@ -14,7 +14,7 @@ from typing import Optional
 import jax
 import flax
 
-from .convert import load_torch_state_dict, torchvision_resnet50_to_flax
+from .convert import load_torch_state_dict, s2d_conv1_weights, torchvision_resnet50_to_flax
 from .posenet import PoseNet, PoseNetConfig
 
 # variant -> (backbone module names, which of them take the 1-ch depth init)
@@ -64,6 +64,10 @@ def init_posenet_with_pretrained(
         p, s = torchvision_resnet50_to_flax(
             resnet_state_dict, sum_conv1_to_1ch=(name in depth_names)
         )
+        if cfg.stem_s2d:
+            # The s2d stem expects an exactly-equivalent [4,4,4C,O] kernel;
+            # fold after the depth-branch channel sum so C is final.
+            p["conv1"]["kernel"] = s2d_conv1_weights(p["conv1"]["kernel"])
         params[name] = jax.tree.map(jnp.asarray, p)
         stats[name] = jax.tree.map(jnp.asarray, s)
 

@@ -36,7 +36,13 @@ class BottleneckBlock(nn.Module):
         y = self.conv(self.features, (1, 1), name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = nn.relu(y)
-        y = self.conv(self.features, (3, 3), strides=(self.strides, self.strides), name="conv2")(y)
+        # explicit symmetric padding: torch pads 3x3/s2 convs (1,1), whereas
+        # flax 'SAME' pads (0,1) — a one-pixel grid shift that breaks
+        # torchvision weight parity
+        y = self.conv(
+            self.features, (3, 3), strides=(self.strides, self.strides),
+            padding=[(1, 1), (1, 1)], name="conv2",
+        )(y)
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = self.conv(self.features * 4, (1, 1), name="conv3")(y)

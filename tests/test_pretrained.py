@@ -71,3 +71,39 @@ def test_trainer_accepts_pretrained(fake_torchvision_sd, tmp_path):
         PoseNetConfig(variant="rgb", img_size=IMG), jax.random.key(0), sd
     )
     assert set(variables["params"].keys()) == set(state.params.keys())
+
+
+def test_pretrained_with_s2d_stem(fake_torchvision_sd):
+    # stem_s2d folds the converted 7x7 conv1 into the exactly-equivalent
+    # [4,4,4C,O] space-to-depth kernel; forward must match the 7x7 variant
+    sd, src = fake_torchvision_sd
+    cfg_s2d = PoseNetConfig(variant="rgb", img_size=IMG, stem_s2d=True)
+    cfg_std = PoseNetConfig(variant="rgb", img_size=IMG)
+    v_s2d = init_posenet_with_pretrained(cfg_s2d, jax.random.key(0), sd)
+    v_std = init_posenet_with_pretrained(cfg_std, jax.random.key(0), sd)
+    assert v_s2d["params"]["backbone"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
+
+    from pose6d_tpu.models.posenet import PoseNet
+
+    x = jax.random.uniform(jax.random.key(1), (2, IMG, IMG, 3))
+    r1, t1 = PoseNet(cfg_s2d).apply(v_s2d, x)
+    r2, t2 = PoseNet(cfg_std).apply(v_std, x)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-4)
+
+
+def test_pretrained_with_s2d_stem_rgbd(fake_torchvision_sd):
+    sd, _ = fake_torchvision_sd
+    cfg = PoseNetConfig(variant="rgbd", img_size=IMG, stem_s2d=True)
+    variables = init_posenet_with_pretrained(cfg, jax.random.key(0), sd)
+    assert variables["params"]["rgb_backbone"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
+    assert variables["params"]["depth_backbone"]["conv1"]["kernel"].shape == (4, 4, 4, 64)
+
+    from pose6d_tpu.models.posenet import PoseNet
+
+    rot, _ = PoseNet(cfg).apply(
+        variables,
+        jax.random.uniform(jax.random.key(1), (2, IMG, IMG, 3)),
+        depth=jnp.zeros((2, IMG, IMG, 1)),
+    )
+    assert np.isfinite(np.asarray(rot)).all()

@@ -1,0 +1,284 @@
+"""Cross-framework golden tests against the reference's own torch code.
+
+Round-1 parity tests compared our losses to hand-written numpy restatements
+and the ResNet converter to its own inverse mapping. These tests close that
+gap using the installed CPU torch:
+
+  * import the reference's models/pose_loss.py and models/add_loss.py
+    (torch-only modules) and assert our jnp implementations match on random
+    batches (reference: models/pose_loss.py:30-61, models/add_loss.py:156-201);
+  * re-declare torchvision's resnet50 feature extractor in pure torch with
+    torchvision state_dict key names, randomize every weight AND BatchNorm
+    running statistic, convert with torchvision_resnet50_to_flax, and assert
+    forward parity — catching kernel-layout, BN-semantics, pooling, or
+    stride-placement mismatches a round-trip test cannot see.
+"""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from pose6d_tpu.losses.add import ADDEvaluator, add_loss
+from pose6d_tpu.losses.pose_loss import PoseLossConfig, pose_loss
+from pose6d_tpu.models.convert import torchvision_resnet50_to_flax
+from pose6d_tpu.models.resnet import ResNet50
+
+REF_MODELS = "/root/reference/models"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MODELS), reason="reference checkout absent"
+)
+
+
+def _import_ref(name):
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{name}", os.path.join(REF_MODELS, f"{name}.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# --------------------------------------------------------------- pose loss
+
+
+@pytest.mark.parametrize("rotation_loss", ["geodesic", "l1"])
+def test_pose_loss_matches_reference_torch(rotation_loss, rng):
+    ref = _import_ref("pose_loss")
+    crit = ref.PoseLoss(rot_weight=1.0, trans_weight=10.0, rotation_loss=rotation_loss)
+
+    B = 16
+    pred_q = rng.normal(size=(B, 4)).astype(np.float32)  # unnormalized on purpose
+    gt_q = rng.normal(size=(B, 4)).astype(np.float32)
+    pred_t = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+    gt_t = rng.uniform(-0.3, 0.3, (B, 3)).astype(np.float32)
+
+    theirs = float(
+        crit(
+            torch.from_numpy(pred_q), torch.from_numpy(pred_t),
+            torch.from_numpy(gt_q), torch.from_numpy(gt_t),
+        )
+    )
+    ours = float(
+        pose_loss(
+            jnp.asarray(pred_q), jnp.asarray(pred_t), jnp.asarray(gt_q),
+            jnp.asarray(gt_t),
+            PoseLossConfig(rot_weight=1.0, trans_weight=10.0, rotation_loss=rotation_loss),
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- ADD loss
+
+
+def _write_cube_ply(path, half_extent_mm, n, seed):
+    r = np.random.default_rng(seed)
+    pts = r.uniform(-half_extent_mm, half_extent_mm, size=(n, 3))
+    with open(path, "w") as f:
+        f.write(f"ply\nformat ascii 1.0\nelement vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\nend_header\n")
+        for p in pts:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+@pytest.fixture(scope="module")
+def mesh_dir(tmp_path_factory):
+    # every mesh has <= 500 post-filter points so the reference's unseeded
+    # downsampling RNG never fires and both loaders see identical clouds
+    # (ours pads + masks via num_valid; the reference keeps variable sizes)
+    d = tmp_path_factory.mktemp("golden_meshes")
+    _write_cube_ply(os.path.join(d, "obj_01.ply"), 40.0, n=450, seed=1)
+    _write_cube_ply(os.path.join(d, "obj_10.ply"), 30.0, n=300, seed=2)  # symmetric (id 9)
+    with open(os.path.join(d, "models_info.yml"), "w") as f:
+        f.write("1: {diameter: 140.0}\n10: {diameter: 105.0}\n")
+    return str(d)
+
+
+def _random_pose_batch(rng, B):
+    from scipy.spatial.transform import Rotation as R
+
+    gt_q = R.random(B, random_state=3).as_quat().astype(np.float32)
+    pred_q = R.random(B, random_state=4).as_quat().astype(np.float32)
+    gt_t = (rng.uniform(-0.05, 0.05, (B, 3)) + [0, 0, 0.8]).astype(np.float32)
+    pred_t = gt_t + rng.uniform(-0.02, 0.02, (B, 3)).astype(np.float32)
+    obj_ids = np.array([0, 9, 0, 9, 0, 0], np.int64)[:B]
+    return pred_q, pred_t, gt_q, gt_t, obj_ids
+
+
+def test_add_eval_metrics_match_reference_torch(mesh_dir, rng):
+    ref = _import_ref("add_loss")
+    theirs_mod = ref.ADDLoss(mesh_dir, torch.device("cpu"))
+    ours = ADDEvaluator(mesh_dir)
+
+    pred_q, pred_t, gt_q, gt_t, obj_ids = _random_pose_batch(rng, 6)
+    theirs = theirs_mod.eval_metrics(
+        torch.from_numpy(pred_q), torch.from_numpy(pred_t),
+        torch.from_numpy(gt_q), torch.from_numpy(gt_t),
+        torch.from_numpy(obj_ids),
+    )
+    got = ours.eval_metrics(
+        jnp.asarray(pred_q), jnp.asarray(pred_t), jnp.asarray(gt_q),
+        jnp.asarray(gt_t), jnp.asarray(obj_ids.astype(np.int32)),
+    )
+    for k in ("add_mean", "add_s_mean", "add_01d_acc"):
+        np.testing.assert_allclose(got[k], float(theirs[k]), rtol=1e-4, atol=1e-4, err_msg=k)
+
+
+def test_add_forward_loss_matches_reference_torch(mesh_dir, rng):
+    ref = _import_ref("add_loss")
+    theirs_mod = ref.ADDLoss(mesh_dir, torch.device("cpu"))
+    ours = ADDEvaluator(mesh_dir)
+
+    pred_q, pred_t, gt_q, gt_t, obj_ids = _random_pose_batch(rng, 6)
+    theirs = float(
+        theirs_mod(
+            torch.from_numpy(pred_q), torch.from_numpy(pred_t),
+            torch.from_numpy(gt_q), torch.from_numpy(gt_t),
+            torch.from_numpy(obj_ids),
+        )
+    )
+    from pose6d_tpu.geometry.quat import quat_to_mat
+
+    got = float(
+        add_loss(
+            ours.points, ours.symmetric, ours.present,
+            quat_to_mat(jnp.asarray(pred_q)), jnp.asarray(pred_t),
+            quat_to_mat(jnp.asarray(gt_q)), jnp.asarray(gt_t),
+            jnp.asarray(obj_ids.astype(np.int32)), num_valid=ours.num_valid,
+        )
+    )
+    np.testing.assert_allclose(got, theirs, rtol=1e-5, atol=1e-6)
+
+
+# ------------------------------------------------- torchvision resnet50 math
+
+
+class _Bottleneck(torch.nn.Module):
+    # torchvision Bottleneck (v1.5: stride on the 3x3 conv2), state_dict-compatible
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TorchResNet50Features(torch.nn.Module):
+    """torchvision resnet50 minus fc — the reference's backbone
+    (models/pose_net_rgb.py:18-20) — with identical state_dict keys."""
+
+    def __init__(self):
+        super().__init__()
+        nn = torch.nn
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, 3, stride=1)
+        self.layer2 = self._make_layer(128, 4, stride=2)
+        self.layer3 = self._make_layer(256, 6, stride=2)
+        self.layer4 = self._make_layer(512, 3, stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+
+    def _make_layer(self, planes, blocks, stride):
+        nn = torch.nn
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+        layers = [_Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [_Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return torch.flatten(self.avgpool(x), 1)
+
+
+def _randomize_bn_stats(model, seed):
+    # real (non-default) running stats + affine params: a converter that drops
+    # or swaps them cannot pass
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+            with torch.no_grad():
+                m.weight.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=g) * 0.2)
+
+
+def test_resnet50_converter_matches_torch_forward(rng):
+    torch.manual_seed(0)
+    tmodel = _TorchResNet50Features().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, 1)
+
+    params, stats = torchvision_resnet50_to_flax(tmodel.state_dict())
+    fmodel = ResNet50()
+
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        fmodel.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet50_converter_depth_branch_matches_torch(rng):
+    # the RGBD depth backbone: conv1 replaced by a 1-channel conv whose
+    # weights are the pretrained conv1 summed over input channels
+    # (reference models/pose_net_rgbd.py:53-59)
+    torch.manual_seed(2)
+    tmodel = _TorchResNet50Features().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tmodel, 3)
+    sd = tmodel.state_dict()
+
+    conv1_1ch = torch.nn.Conv2d(1, 64, 7, stride=2, padding=3, bias=False)
+    with torch.no_grad():
+        conv1_1ch.weight.copy_(sd["conv1.weight"].sum(dim=1, keepdim=True))
+    tmodel.conv1 = conv1_1ch
+
+    params, stats = torchvision_resnet50_to_flax(sd, sum_conv1_to_1ch=True)
+    fmodel = ResNet50(in_channels=1)
+
+    x = rng.uniform(0, 1, size=(2, 64, 64, 1)).astype(np.float32)
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        fmodel.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x), train=False
+        )
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
