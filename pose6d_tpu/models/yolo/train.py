@@ -26,7 +26,7 @@ import numpy as np
 import optax
 
 from ...ops.augment import adjust_brightness, adjust_saturation, _rgb_to_hsv, _hsv_to_rgb
-from .decode import batched_nms, box_iou_xyxy, decode_outputs, dfl_expectation, make_anchors
+from .decode import batched_nms, decode_outputs, dfl_expectation, make_anchors
 from .loss import detection_loss
 from .model import YoloConfig, YoloV8
 
@@ -43,6 +43,10 @@ class DetTrainConfig:
     hsv_h: float = 0.015
     hsv_s: float = 0.7
     hsv_v: float = 0.4
+    # ultralytics random_perspective defaults (degrees/shear/perspective = 0):
+    # scale ~ U(1-0.5, 1+0.5), center translated by +-10% of the image size.
+    affine_scale: float = 0.5
+    affine_translate: float = 0.1
     seed: int = 42
 
 
@@ -69,6 +73,69 @@ def flip_augment(key: jax.Array, img: jax.Array, boxes: jax.Array, p: float, W: 
     return jnp.where(take, flipped, img), jnp.where(take, fb, boxes)
 
 
+def affine_augment(
+    key: jax.Array,
+    img: jax.Array,  # [H, W, 3] float in [0, 1]
+    boxes: jax.Array,  # [M, 4] xyxy pixels
+    mask: jax.Array,  # [M] bool
+    cfg: DetTrainConfig,
+    fill: float = 114.0 / 255.0,
+):
+    """Random scale + translate of one image and its boxes, on device.
+
+    Ultralytics random_perspective with degrees=shear=perspective=0 reduces to
+    out(x) = in((x - t) / s) with s ~ U(1-scale, 1+scale) and the image center
+    moved to U(0.5-translate, 0.5+translate) of the frame; out-of-frame pixels
+    take the gray border value (114). Surviving boxes follow the ultralytics
+    box_candidates filter (w,h > 2px, area ratio > 0.1, aspect < 100).
+    """
+    H, W = img.shape[0], img.shape[1]
+    ks, ktx, kty = jax.random.split(key, 3)
+    s = jax.random.uniform(ks, (), minval=1.0 - cfg.affine_scale, maxval=1.0 + cfg.affine_scale)
+    cx = jax.random.uniform(
+        ktx, (), minval=0.5 - cfg.affine_translate, maxval=0.5 + cfg.affine_translate
+    )
+    cy = jax.random.uniform(
+        kty, (), minval=0.5 - cfg.affine_translate, maxval=0.5 + cfg.affine_translate
+    )
+    # scale_and_translate semantics: out(x) = in((x - t) / s); place the scaled
+    # image center at (cx*W, cy*H).
+    tx = cx * W - s * (W / 2.0)
+    ty = cy * H - s * (H / 2.0)
+    scaled = jax.image.scale_and_translate(
+        img, img.shape, (0, 1),
+        jnp.stack([s, s]), jnp.stack([ty, tx]), method="linear",
+    )
+    coverage = jax.image.scale_and_translate(
+        jnp.ones((H, W, 1), img.dtype), (H, W, 1), (0, 1),
+        jnp.stack([s, s]), jnp.stack([ty, tx]), method="linear",
+    )
+    out = scaled + (1.0 - coverage) * fill
+
+    x1 = boxes[:, 0] * s + tx
+    y1 = boxes[:, 1] * s + ty
+    x2 = boxes[:, 2] * s + tx
+    y2 = boxes[:, 3] * s + ty
+    nx1 = jnp.clip(x1, 0.0, W)
+    ny1 = jnp.clip(y1, 0.0, H)
+    nx2 = jnp.clip(x2, 0.0, W)
+    ny2 = jnp.clip(y2, 0.0, H)
+    new_boxes = jnp.stack([nx1, ny1, nx2, ny2], axis=-1)
+
+    w0 = (boxes[:, 2] - boxes[:, 0]) * s
+    h0 = (boxes[:, 3] - boxes[:, 1]) * s
+    w1 = nx2 - nx1
+    h1 = ny2 - ny1
+    eps = 1e-6
+    ar = jnp.maximum(w1 / (h1 + eps), h1 / (w1 + eps))
+    keep = (
+        (w1 > 2.0) & (h1 > 2.0)
+        & (w1 * h1 / (w0 * h0 + eps) > 0.1)
+        & (ar < 100.0)
+    )
+    return out, new_boxes, mask & keep
+
+
 def ema_update(ema_params, params, step: jax.Array, decay: float = 0.9999):
     """Ramped EMA (ultralytics ModelEMA): d = decay * (1 - exp(-step/2000))."""
     d = decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / 2000.0))
@@ -79,7 +146,7 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
     anchors, strides = make_anchors((cfg.img_size, cfg.img_size), ycfg.strides)
 
     def step(params, batch_stats, opt_state, batch, key):
-        k_hsv, k_flip = jax.random.split(key)
+        k_hsv, k_flip, k_aff = jax.random.split(key, 3)
         B = batch["image"].shape[0]
         imgs = jax.vmap(lambda k, im: hsv_augment(k, im, cfg))(
             jax.random.split(k_hsv, B), batch["image"]
@@ -87,6 +154,11 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
         imgs, boxes = jax.vmap(
             lambda k, im, bx: flip_augment(k, im, bx, cfg.flip_p, cfg.img_size)
         )(jax.random.split(k_flip, B), imgs, batch["gt_boxes"])
+        gt_mask = batch["gt_mask"]
+        if cfg.affine_scale > 0.0 or cfg.affine_translate > 0.0:
+            imgs, boxes, gt_mask = jax.vmap(
+                lambda k, im, bx, m: affine_augment(k, im, bx, m, cfg)
+            )(jax.random.split(k_aff, B), imgs, boxes, gt_mask)
 
         def loss_fn(params):
             outputs, updates = model.apply(
@@ -105,7 +177,7 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
             pred_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
             losses = detection_loss(
                 box_l, cls_l, pred_boxes, anchors, strides,
-                boxes, batch["gt_labels"], batch["gt_mask"], ycfg.reg_max,
+                boxes, batch["gt_labels"], gt_mask, ycfg.reg_max,
             )
             return losses["total"], (losses, updates)
 
@@ -123,27 +195,25 @@ def load_yolo_variables(save_dir: str, ycfg: YoloConfig, img_size: int = 640,
 
     Returns {'params', 'batch_stats'} with the EMA weights as params (they
     are what eval/export should use), or None if no checkpoint exists.
+    Restores without an abstract tree so it reads any checkpoint format
+    (full-trainer-state or the older params/ema-only layout).
     """
     import orbax.checkpoint as ocp
 
-    model = YoloV8(ycfg)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, img_size, img_size, 3)))
-    abstract = jax.tree.map(
-        ocp.utils.to_shape_dtype_struct,
-        {"params": variables["params"],
-         "batch_stats": variables.get("batch_stats", {}),
-         "ema_params": variables["params"]},
-    )
     for name in (prefer, "last" if prefer != "last" else "best"):
         path = os.path.join(os.path.abspath(save_dir), name)
         if not os.path.isdir(path):
             continue
         try:
-            restored = ocp.StandardCheckpointer().restore(path, abstract)
+            restored = ocp.StandardCheckpointer().restore(path)
         except Exception as e:
             print(f"[yolo] restore of {path} failed: {e}")
             continue
-        return {"params": restored["ema_params"], "batch_stats": restored["batch_stats"]}
+        to_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+        return {
+            "params": to_jnp(restored["ema_params"]),
+            "batch_stats": to_jnp(restored.get("batch_stats") or {}),
+        }
     return None
 
 
@@ -169,6 +239,18 @@ def average_precision(tp: np.ndarray, conf: np.ndarray, n_gt: int) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def _iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized IoU between xyxy box sets [N,4] x [M,4] -> [N,M] (numpy —
+    the matching below is host logic; no per-prediction device round-trips)."""
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0.0, None), axis=1)
+    area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0.0, None), axis=1)
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
 def evaluate_map50(
     predictions: List[dict], ground_truths: List[dict], num_classes: int,
     iou_thresh: float = 0.5,
@@ -177,6 +259,10 @@ def evaluate_map50(
 
     predictions[i]: {'boxes' [D,4], 'scores' [D], 'classes' [D], 'valid' [D]}
     ground_truths[i]: {'boxes' [M,4], 'labels' [M], 'mask' [M]}
+
+    All-numpy: one vectorized IoU matrix per (image, class), greedy matching
+    on the host — no device calls in the loop (the reference-scale val split
+    is ~1.5k images x max_det predictions).
     """
     aps = []
     for c in range(num_classes):
@@ -184,28 +270,28 @@ def evaluate_map50(
         n_gt = 0
         for pred, gt in zip(predictions, ground_truths):
             gt_sel = (gt["labels"] == c) & gt["mask"]
-            gt_boxes = gt["boxes"][gt_sel]
+            gt_boxes = np.asarray(gt["boxes"])[gt_sel]
             n_gt += len(gt_boxes)
             p_sel = (pred["classes"] == c) & pred["valid"]
-            p_boxes = pred["boxes"][p_sel]
-            p_scores = pred["scores"][p_sel]
+            p_boxes = np.asarray(pred["boxes"])[p_sel]
+            p_scores = np.asarray(pred["scores"])[p_sel]
+            if len(p_boxes) == 0:
+                continue
             order = np.argsort(-p_scores)
+            if len(gt_boxes) == 0:
+                tps.extend([False] * len(order))
+                confs.extend(p_scores[order].tolist())
+                continue
+            ious = _iou_matrix_np(p_boxes[order], gt_boxes)  # [D, M]
             matched = np.zeros(len(gt_boxes), bool)
-            for pi in order:
-                if len(gt_boxes) == 0:
-                    tps.append(False)
-                    confs.append(p_scores[pi])
-                    continue
-                ious = np.asarray(
-                    box_iou_xyxy(jnp.asarray(p_boxes[pi][None]), jnp.asarray(gt_boxes))
-                )[0]
-                j = int(np.argmax(ious))
-                if ious[j] >= iou_thresh and not matched[j]:
+            for row, score in zip(ious, p_scores[order]):
+                j = int(np.argmax(row))
+                if row[j] >= iou_thresh and not matched[j]:
                     matched[j] = True
                     tps.append(True)
                 else:
                     tps.append(False)
-                confs.append(p_scores[pi])
+                confs.append(float(score))
         if n_gt == 0:
             continue
         aps.append(average_precision(np.asarray(tps), np.asarray(confs), n_gt))
@@ -256,6 +342,8 @@ class DetectionTrainer:
         # Real copies, not aliases — the train step donates self.params.
         self.ema_params = jax.tree.map(jnp.copy, self.params)
         self.global_step = jnp.zeros((), jnp.int32)
+        self.completed_epochs = 0
+        self.best_map = -1.0
         self._ema_fn = jax.jit(ema_update, donate_argnums=0)
         self.step_fn = make_det_train_step(self.model, self.tx, cfg, self.ycfg)
         self.save_dir = os.path.abspath(save_dir)
@@ -266,17 +354,30 @@ class DetectionTrainer:
         )
 
     # ------------------------------------------------------------- checkpoint
+    #
+    # Full trainer state, matching ultralytics' resume-from-last semantics
+    # (reference scripts/training/train_yolo.py:35-39): optimizer moments,
+    # global step (drives the warmup-cosine schedule and the EMA ramp),
+    # completed-epoch count, and best mAP for best-gating.
+
+    def _ckpt_tree(self) -> dict:
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "ema_params": self.ema_params,
+            "opt_state": self.opt_state,
+            "meta": {
+                "global_step": self.global_step,
+                "epoch": jnp.asarray(self.completed_epochs, jnp.int32),
+                "best_map": jnp.asarray(self.best_map, jnp.float32),
+            },
+        }
 
     def save_checkpoint(self, name: str = "last") -> None:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            os.path.join(self.save_dir, name),
-            {"params": self.params, "batch_stats": self.batch_stats,
-             "ema_params": self.ema_params},
-            force=True,
-        )
+        ckptr.save(os.path.join(self.save_dir, name), self._ckpt_tree(), force=True)
         ckptr.wait_until_finished()
 
     def try_resume(self, name: str = "last") -> bool:
@@ -285,11 +386,7 @@ class DetectionTrainer:
             return False
         import orbax.checkpoint as ocp
 
-        abstract = jax.tree.map(
-            ocp.utils.to_shape_dtype_struct,
-            {"params": self.params, "batch_stats": self.batch_stats,
-             "ema_params": self.ema_params},
-        )
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, self._ckpt_tree())
         try:
             restored = ocp.StandardCheckpointer().restore(path, abstract)
         except Exception as e:
@@ -298,6 +395,10 @@ class DetectionTrainer:
         self.params = restored["params"]
         self.batch_stats = restored["batch_stats"]
         self.ema_params = restored["ema_params"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = restored["meta"]["global_step"]
+        self.completed_epochs = int(restored["meta"]["epoch"])
+        self.best_map = float(restored["meta"]["best_map"])
         return True
 
     def _infer_impl(self, params, batch_stats, images):
@@ -339,20 +440,39 @@ class DetectionTrainer:
                 )
         return evaluate_map50(preds, gts, self.ycfg.num_classes)
 
-    def fit(self, epochs: Optional[int] = None) -> float:
+    def fit(self, epochs: Optional[int] = None, validate_every: int = 1) -> float:
+        """Train with per-epoch validation, best-mAP gating, and true resume:
+        restarting after an interruption continues the LR schedule, EMA ramp,
+        and optimizer moments from the saved step, skipping completed epochs
+        (ultralytics resume parity). `validate_every` > 1 skips intermediate
+        mAP evals (the final epoch always validates)."""
         epochs = epochs or self.cfg.epochs
         rng = np.random.default_rng(self.cfg.seed)
         if self.try_resume():
-            print("[yolo] resumed from last checkpoint")
-        for epoch in range(epochs):
+            print(
+                f"[yolo] resumed from last checkpoint: epoch {self.completed_epochs}, "
+                f"step {int(self.global_step)}, best mAP {self.best_map:.4f}"
+            )
+        map50 = self.best_map
+        for epoch in range(self.completed_epochs, epochs):
             t0 = time.monotonic()
             loss = self.train_epoch(epoch, rng)
-            print(
-                f"[yolo] epoch {epoch + 1}/{epochs} loss {loss:.4f} "
-                f"({time.monotonic() - t0:.1f}s)"
-            )
+            self.completed_epochs = epoch + 1
+            if (epoch + 1) % validate_every == 0 or epoch + 1 == epochs:
+                map50 = self.validate_map50(rng)
+                if map50 > self.best_map:
+                    self.best_map = map50
+                    self.save_checkpoint("best")
+                print(
+                    f"[yolo] epoch {epoch + 1}/{epochs} loss {loss:.4f} "
+                    f"mAP@50 {map50:.4f} (best {self.best_map:.4f}, "
+                    f"{time.monotonic() - t0:.1f}s)"
+                )
+            else:
+                print(
+                    f"[yolo] epoch {epoch + 1}/{epochs} loss {loss:.4f} "
+                    f"({time.monotonic() - t0:.1f}s)"
+                )
             self.save_checkpoint("last")
-        map50 = self.validate_map50(rng)
-        self.save_checkpoint("best")
         print(f"mAP@50: {map50:.4f}")
         return map50
