@@ -55,12 +55,17 @@ class ObjectModels:
     diameters: [n_obj] float32 (meters).
     symmetric: [n_obj] bool.
     present:   [n_obj] bool.
+    num_valid: [n_obj] int32 — real (non-padded) point count per object.
+               Meshes with fewer than num_points post-filter vertices are
+               padded by repetition for static shapes; metric means weight
+               only the first num_valid points so padding never double-counts.
     """
 
     points: np.ndarray
     diameters: np.ndarray
     symmetric: np.ndarray
     present: np.ndarray
+    num_valid: np.ndarray
 
 
 def load_object_models(
@@ -91,6 +96,7 @@ def load_object_models(
     points = np.zeros((n_obj, num_points, 3), dtype=np.float32)
     diameters = np.full((n_obj,), 0.1, dtype=np.float32)
     present = np.zeros((n_obj,), dtype=bool)
+    num_valid = np.full((n_obj,), num_points, dtype=np.int32)
 
     if os.path.isdir(model_dir):
         for ply_file in sorted(f for f in os.listdir(model_dir) if f.endswith(".ply")):
@@ -118,8 +124,9 @@ def load_object_models(
                 idx = rng.choice(pts.shape[0], num_points, replace=False)
                 pts = pts[idx]
             elif pts.shape[0] < num_points:
-                # Pad by repetition: metric means are unchanged in expectation
-                # and shapes stay static for jit.
+                # Pad by repetition for static jit shapes; num_valid records
+                # the real count so metric means skip the padded tail.
+                num_valid[obj_id] = pts.shape[0]
                 idx = rng.choice(pts.shape[0], num_points - pts.shape[0], replace=True)
                 pts = np.concatenate([pts, pts[idx]], axis=0)
 
@@ -131,7 +138,10 @@ def load_object_models(
         if 0 <= sid < n_obj:
             symmetric[sid] = True
 
-    return ObjectModels(points=points, diameters=diameters, symmetric=symmetric, present=present)
+    return ObjectModels(
+        points=points, diameters=diameters, symmetric=symmetric,
+        present=present, num_valid=num_valid,
+    )
 
 
 def _transform_points(points: jax.Array, rot_mat: jax.Array, trans: jax.Array) -> jax.Array:
@@ -168,6 +178,15 @@ def _pairwise_min_dist(pred_pts: jax.Array, gt_pts: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.min(d2, axis=2))
 
 
+def _point_mean(per_point: jax.Array, safe_ids: jax.Array, num_valid) -> jax.Array:
+    """Mean of [B, P] per-point values over each sample's real points only."""
+    if num_valid is None:
+        return jnp.mean(per_point, axis=-1)
+    nv = num_valid[safe_ids].astype(jnp.float32)  # [B]
+    pmask = jnp.arange(per_point.shape[-1])[None, :] < nv[:, None]
+    return jnp.sum(jnp.where(pmask, per_point, 0.0), axis=-1) / jnp.maximum(nv, 1.0)
+
+
 def add_metrics(
     model_points: jax.Array,  # [n_obj, P, 3]
     diameters: jax.Array,  # [n_obj]
@@ -178,12 +197,15 @@ def add_metrics(
     gt_rot_mat: jax.Array,  # [B, 3, 3]
     gt_trans: jax.Array,  # [B, 3]
     obj_ids: jax.Array,  # [B] int
+    num_valid: jax.Array | None = None,  # [n_obj] int, real point count
 ) -> dict:
     """Batched ADD / ADD-S / ADD-0.1d. Pure function, fully jittable.
 
     Returns dict with 'add_mean' (mm), 'add_s_mean' (mm), 'add_01d_acc' (%),
     each a scalar mean over the valid samples of the batch (0 if none valid),
-    matching models/add_loss.py:156-201.
+    matching models/add_loss.py:156-201. When `num_valid` is given, per-point
+    means cover only each object's real (non-padded) points — matching the
+    reference's variable-size clouds exactly, not just in expectation.
     """
     obj_ids = obj_ids.astype(jnp.int32)
     n_obj = model_points.shape[0]
@@ -197,8 +219,10 @@ def add_metrics(
     gt_pts = _transform_points(pts, gt_rot_mat, gt_trans)
     pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
 
-    add = jnp.mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), axis=-1)  # [B]
-    add_s = jnp.mean(pairwise_min_dist(pred_pts, gt_pts), axis=-1)  # [B]
+    add = _point_mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), safe_ids, num_valid)  # [B]
+    # Padded GT points are repeats of real points, so the min over the GT
+    # axis is unaffected; only the pred-point mean needs masking.
+    add_s = _point_mean(pairwise_min_dist(pred_pts, gt_pts), safe_ids, num_valid)  # [B]
 
     effective = jnp.where(sym, add_s, add)
     correct = (effective < 0.1 * diam).astype(jnp.float32)
@@ -223,6 +247,7 @@ def add_loss(
     gt_rot_mat: jax.Array,
     gt_trans: jax.Array,
     obj_ids: jax.Array,
+    num_valid: jax.Array | None = None,
 ) -> jax.Array:
     """Differentiable ADD(-S) loss, the batched analogue of add_loss.py:101-150."""
     obj_ids = obj_ids.astype(jnp.int32)
@@ -235,8 +260,8 @@ def add_loss(
     gt_pts = _transform_points(pts, gt_rot_mat, gt_trans)
     pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
 
-    add = jnp.mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), axis=-1)
-    add_s = jnp.mean(pairwise_min_dist(pred_pts, gt_pts), axis=-1)
+    add = _point_mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), safe_ids, num_valid)
+    add_s = _point_mean(pairwise_min_dist(pred_pts, gt_pts), safe_ids, num_valid)
     per_sample = jnp.where(sym, add_s, add)
 
     vmask = valid.astype(jnp.float32)
@@ -257,6 +282,7 @@ class ADDEvaluator:
         self.diameters = jnp.asarray(models.diameters)
         self.symmetric = jnp.asarray(models.symmetric)
         self.present = jnp.asarray(models.present)
+        self.num_valid = jnp.asarray(models.num_valid)
         self.host_models = models
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -273,6 +299,7 @@ class ADDEvaluator:
             quat_to_mat(gt_q),
             gt_t,
             obj_ids,
+            num_valid=self.num_valid,
         )
 
     def eval_metrics(self, pred_q, pred_t, gt_q, gt_t, obj_ids) -> dict:

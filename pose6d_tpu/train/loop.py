@@ -169,6 +169,7 @@ def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
     diameters = evaluator.diameters
     symmetric = evaluator.symmetric
     present = evaluator.present
+    num_valid = evaluator.num_valid
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         rgb = eval_preprocess(batch["rgb"])
@@ -182,6 +183,7 @@ def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
             points, diameters, symmetric, present,
             quat_to_mat(pred_rot), pred_trans,
             quat_to_mat(batch["quat"]), batch["trans"], obj_ids,
+            num_valid=num_valid,
         )
         loss = pose_loss(pred_rot, pred_trans, batch["quat"], batch["trans"], cfg.loss)
         metrics["loss"] = loss

@@ -30,13 +30,16 @@ class ReduceLROnPlateau:
     cooldown_counter: int = 0
 
     def _is_better(self, a: float, best: float) -> bool:
+        # Mirrors torch.optim.lr_scheduler.ReduceLROnPlateau.is_better exactly:
+        # rel mode uses best*(1+threshold) for max / best*(1-threshold) for min
+        # regardless of sign.
         if self.mode == "max":
             if self.threshold_mode == "rel":
-                return a > best * (1.0 + self.threshold) if best >= 0 else a > best * (1.0 - self.threshold)
+                return a > best * (self.threshold + 1.0)
             return a > best + self.threshold
         else:
             if self.threshold_mode == "rel":
-                return a < best * (1.0 - self.threshold) if best >= 0 else a < best * (1.0 + self.threshold)
+                return a < best * (1.0 - self.threshold)
             return a < best - self.threshold
 
     def step(self, metric: float) -> float:

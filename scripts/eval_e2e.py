@@ -114,12 +114,19 @@ def main():
         tot["n_batches"] += 1
 
     nb = max(tot["n_batches"], 1)
+    det_rate = tot["detected"] / max(tot["n"], 1)
+    acc_detected = tot["acc"] / nb
     print(f"split {args.split}: {tot['n']} frames")
-    print(f"detection rate: {tot['detected'] / tot['n'] * 100:.1f}%  "
+    print(f"detection rate: {det_rate * 100:.1f}%  "
           f"class acc (of detected): "
           f"{tot['cls_correct'] / max(tot['detected'], 1) * 100:.1f}%")
-    print(f"ADD: {tot['add'] / nb:.1f}mm  ADD-S: {tot['add_s'] / nb:.1f}mm  "
-          f"ADD-0.1d: {tot['acc'] / nb:.2f}%")
+    # ADD/ADD-S means are over detected frames only (undetected frames have no
+    # pose); the full-system ADD-0.1d counts an undetected frame as incorrect.
+    print(f"ADD (detected): {tot['add'] / nb:.1f}mm  "
+          f"ADD-S (detected): {tot['add_s'] / nb:.1f}mm  "
+          f"ADD-0.1d (detected): {acc_detected:.2f}%")
+    print(f"ADD-0.1d (full system, undetected = incorrect): "
+          f"{acc_detected * det_rate:.2f}%")
 
 
 if __name__ == "__main__":

@@ -146,3 +146,63 @@ def test_add_loss_differentiable(model_dir):
     g = jax.grad(f)(t + 0.01)
     assert np.isfinite(np.asarray(g)).all()
     assert float(f(t)) < 1e-6
+
+
+def test_small_mesh_padding_not_double_weighted(tmp_path):
+    # a mesh with fewer than num_points vertices is padded by repetition for
+    # static shapes; metrics must average over the REAL points only
+    _write_cube_ply(os.path.join(tmp_path, "obj_03.ply"), 25.0, n=120, seed=3)
+    m = load_object_models(str(tmp_path), n_obj=5, num_points=500)
+    assert m.num_valid[2] == 120
+    assert (m.num_valid[[0, 1, 3, 4]] == 500).all()
+
+    rng = np.random.default_rng(0)
+    pred_q = R.random(3, random_state=1).as_quat().astype(np.float32)
+    gt_q = R.random(3, random_state=2).as_quat().astype(np.float32)
+    gt_t = (rng.uniform(-0.05, 0.05, (3, 3)) + [0, 0, 0.8]).astype(np.float32)
+    pred_t = gt_t + rng.uniform(-0.01, 0.01, (3, 3)).astype(np.float32)
+    obj_ids = np.full(3, 2, np.int32)
+
+    out = add_metrics(
+        jnp.asarray(m.points), jnp.asarray(m.diameters), jnp.asarray(m.symmetric),
+        jnp.asarray(m.present),
+        quat_to_mat(jnp.asarray(pred_q)), jnp.asarray(pred_t),
+        quat_to_mat(jnp.asarray(gt_q)), jnp.asarray(gt_t),
+        jnp.asarray(obj_ids), num_valid=jnp.asarray(m.num_valid),
+    )
+    # numpy reference over the unpadded 120-point cloud
+    ref_add, ref_add_s, ref_acc = _numpy_reference_metrics(
+        m.points[:, :120], m.diameters, set(), pred_q, pred_t, gt_q, gt_t, obj_ids
+    )
+    np.testing.assert_allclose(float(out["add_mean"]), ref_add, rtol=1e-4)
+    np.testing.assert_allclose(float(out["add_s_mean"]), ref_add_s, rtol=1e-4)
+    np.testing.assert_allclose(float(out["add_01d_acc"]), ref_acc, atol=1e-5)
+
+
+def test_mixed_present_absent_batch(model_dir):
+    # a batch mixing meshed and mesh-less objects: metrics equal the same
+    # batch with the absent samples dropped (reference skips them:
+    # add_loss.py:168-172)
+    m = load_object_models(model_dir, n_obj=15, num_points=500)
+    qs = R.random(4, random_state=7).as_quat().astype(np.float32)
+    gq = R.random(4, random_state=8).as_quat().astype(np.float32)
+    ts = np.tile(np.array([[0.01, -0.02, 0.7]], np.float32), (4, 1))
+    gt = ts + 0.005
+    args = (
+        jnp.asarray(m.points), jnp.asarray(m.diameters), jnp.asarray(m.symmetric),
+        jnp.asarray(m.present),
+    )
+    mixed = add_metrics(
+        *args, quat_to_mat(jnp.asarray(qs)), jnp.asarray(ts),
+        quat_to_mat(jnp.asarray(gq)), jnp.asarray(gt),
+        jnp.asarray([0, 5, 9, 5], dtype=jnp.int32),  # 5 has no mesh
+    )
+    sel = [0, 2]
+    only_present = add_metrics(
+        *args, quat_to_mat(jnp.asarray(qs[sel])), jnp.asarray(ts[sel]),
+        quat_to_mat(jnp.asarray(gq[sel])), jnp.asarray(gt[sel]),
+        jnp.asarray([0, 9], dtype=jnp.int32),
+    )
+    assert float(mixed["count"]) == 2
+    for k in ("add_mean", "add_s_mean", "add_01d_acc"):
+        np.testing.assert_allclose(float(mixed[k]), float(only_present[k]), rtol=1e-5)

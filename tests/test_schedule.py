@@ -76,3 +76,26 @@ def test_parity_with_torch_scheduler():
         lr_ours = ours.step(m)
         lr_torch = opt.param_groups[0]["lr"]
         np.testing.assert_allclose(lr_ours, lr_torch, rtol=1e-9, err_msg=f"metric {m}")
+
+
+@pytest.mark.skipif(
+    pytest.importorskip("torch", reason="torch absent") is None, reason="torch absent"
+)
+def test_parity_with_torch_scheduler_negative_metrics():
+    # rel-threshold formula must match torch for negative best values too
+    # (torch uses best*(1+threshold) in mode=max regardless of sign)
+    import torch
+
+    metrics = [-1.0, -0.9, -0.91, -0.905, -0.9, -0.9, -0.9, -0.89, -1.2, -1.3,
+               -1.4, -0.5, -0.51, -0.52, -0.53, -0.54]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-4)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=0.5, patience=2, min_lr=1e-7
+    )
+    ours = ReduceLROnPlateau(lr=1e-4, factor=0.5, patience=2, min_lr=1e-7)
+    for m in metrics:
+        tsched.step(m)
+        lr_ours = ours.step(m)
+        lr_torch = opt.param_groups[0]["lr"]
+        np.testing.assert_allclose(lr_ours, lr_torch, rtol=1e-9, err_msg=f"metric {m}")
