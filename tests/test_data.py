@@ -147,3 +147,23 @@ def test_normalize_depth_contract():
     d = np.array([0.0, 0.005, 0.1, 0.85, 1.6, 2.0], np.float32)
     n = normalize_depth(d)
     np.testing.assert_allclose(n, [0.0, 0.0, 0.0, 0.5, 1.0, 1.0], atol=1e-6)
+
+
+def test_get_gt_and_K_matches_index(synth):
+    # the frame-lookup utility must agree with the bulk index scan
+    from pose6d_tpu.utils.camera import DEFAULT_K, get_gt_and_K
+
+    s = build_index(synth["data"], "train")[0]
+    frame_id = int(os.path.basename(s.img_path).split(".")[0])
+    obj_folder = f"{s.obj_id + 1:02d}"
+    r, t, K = get_gt_and_K(synth["data"], obj_folder, frame_id)
+    np.testing.assert_allclose(r, s.rot_mat, atol=1e-9)
+    np.testing.assert_allclose(t, s.trans_mm / 1000.0, atol=1e-9)
+    np.testing.assert_allclose(K, s.cam_K, atol=1e-4)
+
+    # unannotated frame: pose is None, K falls back (file or DEFAULT_K)
+    r2, t2, K2 = get_gt_and_K(synth["data"], obj_folder, 10_000)
+    assert r2 is None and t2 is None and K2.shape == (3, 3)
+    # missing folder: both fall back
+    r3, t3, K3 = get_gt_and_K(synth["data"], "99", 0)
+    assert r3 is None and np.allclose(K3, DEFAULT_K)
