@@ -28,6 +28,17 @@ def _write_ply(path: str, pts_mm: np.ndarray) -> None:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
 
 
+# 20 well-separated marker colors (12 edges + 8 corners), fixed across frames
+# so pose is identifiable from appearance
+_MARKER_COLORS = [
+    (255, 40, 40), (40, 255, 40), (40, 40, 255), (255, 255, 40),
+    (255, 40, 255), (40, 255, 255), (255, 140, 0), (140, 255, 0),
+    (0, 140, 255), (140, 0, 255), (255, 255, 255), (160, 160, 160),
+    (200, 80, 80), (80, 200, 80), (80, 80, 200), (220, 220, 80),
+    (220, 80, 220), (80, 220, 220), (240, 170, 90), (170, 90, 240),
+]
+
+
 def _random_rotation(rng: np.random.Generator) -> np.ndarray:
     # QR of a Gaussian matrix, sign-fixed -> uniform-ish rotation
     a = rng.normal(size=(3, 3))
@@ -101,11 +112,25 @@ def generate_synthetic_linemod(
             rgb = rng.integers(0, 60, size=(img_h, img_w, 3), dtype=np.uint8)
             hull = cv2.convexHull(np.stack([u, v], axis=1).astype(np.int32))
             cv2.fillConvexPoly(rgb, hull, color)
-            # a couple of texture lines so rotation is observable
-            for e in ((0, 3), (5, 6), (1, 4)):
-                p1 = (int(u[e[0]]), int(v[e[0]]))
-                p2 = (int(u[e[1]]), int(v[e[1]]))
-                cv2.line(rgb, p1, p2, (255, 255, 255), 2)
+            # orientation must be fully observable for rotation learning:
+            # draw the 12 wireframe edges and 8 corner dots in distinct
+            # fixed colors, far-to-near so occlusion is depth-consistent
+            edges = [
+                (a, b) for a in range(8) for b in range(a + 1, 8)
+                if bin(a ^ b).count("1") == 1
+            ]
+            edge_colors = _MARKER_COLORS[:12]
+            order = np.argsort(-(z[[a for a, _ in edges]] + z[[b for _, b in edges]]))
+            for ei in order:
+                a, b = edges[ei]
+                cv2.line(
+                    rgb, (int(u[a]), int(v[a])), (int(u[b]), int(v[b])),
+                    edge_colors[ei], 2,
+                )
+            for ci in np.argsort(-z):
+                cv2.circle(
+                    rgb, (int(u[ci]), int(v[ci])), 4, _MARKER_COLORS[12 + ci], -1
+                )
 
             depth = np.zeros((img_h, img_w), dtype=np.uint16)
             mask = np.zeros((img_h, img_w), dtype=np.uint8)

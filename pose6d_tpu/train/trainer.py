@@ -137,7 +137,9 @@ class Trainer:
             "val_loss": loss_sum / n,
         }
 
-    def fit(self, epochs: Optional[int] = None) -> float:
+    def fit(self, epochs: Optional[int] = None, early_stop_acc: Optional[float] = None) -> float:
+        """Run the training loop; optionally stop once val ADD-0.1d reaches
+        `early_stop_acc` (saturation runs on the synthetic fixture)."""
         cfg = self.cfg
         epochs = epochs or cfg.epochs
         self.try_resume()
@@ -186,5 +188,8 @@ class Trainer:
                     self.state, epoch, self.best_acc, vm["val_acc"], vm["val_add"],
                     self.scheduler.state_dict(), is_best,
                 )
+                if early_stop_acc is not None and self.best_acc >= early_stop_acc:
+                    print(f"  Early stop: ADD-0.1d {self.best_acc:.2f}% >= {early_stop_acc}%")
+                    break
         print(f"\nTraining complete. Best ADD-0.1d: {self.best_acc:.2f}%")
         return self.best_acc

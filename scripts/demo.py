@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--img-size", type=int, default=64,
                     help="pose crop size (small default for CPU demos)")
     ap.add_argument("--det-size", type=int, default=320)
+    ap.add_argument("--frames", type=int, default=30,
+                    help="synthetic frames per object")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -47,7 +49,7 @@ def main():
     print("== 1. synthetic dataset")
     paths = generate_synthetic_linemod(
         os.path.join(args.workdir, "Linemod_synthetic"),
-        obj_ids=(1, 2), frames_per_obj=30,
+        obj_ids=(1, 2), frames_per_obj=args.frames,
     )
     print(paths)
 

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Accuracy-parity evidence run: train all four pose variants to saturation.
+
+No network access means no real LineMOD, so the parity claim is demonstrated
+on the synthetic fixture (pose6d_tpu/data/synthetic.py): every variant —
+including the learned-rotation ones — must drive val ADD-0.1d far above
+chance under the reference's exact 75-epoch recipe (configs/presets.py),
+with the metrics.csv curves as the evidence trail. Reference targets for
+real data remain /root/reference/README.md:28-33.
+
+Usage (full run, real chip):
+  python scripts/parity_run.py --workdir /tmp/pose6d_parity
+Incremental (one variant at a time; runs resume):
+  python scripts/parity_run.py --workdir /tmp/pose6d_parity --variants rgb
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default="/tmp/pose6d_parity")
+    ap.add_argument("--objects", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--epochs", type=int, default=75)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--num-workers", type=int, default=4)
+    ap.add_argument("--early-stop-acc", type=float, default=99.5)
+    ap.add_argument(
+        "--variants", nargs="+",
+        default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
+    )
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from pose6d_tpu.configs.presets import get_preset
+    from pose6d_tpu.data.synthetic import generate_synthetic_linemod
+    from pose6d_tpu.train.trainer import Trainer
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_root = os.path.join(args.workdir, "synth", "data")
+    mesh_dir = os.path.join(args.workdir, "synth", "models")
+    if not os.path.isdir(data_root):
+        print(f"[parity] generating synthetic dataset: {args.objects} objects "
+              f"x {args.frames} frames")
+        generate_synthetic_linemod(
+            os.path.join(args.workdir, "synth"),
+            obj_ids=tuple(range(1, args.objects + 1)),
+            frames_per_obj=args.frames, seed=args.seed,
+        )
+
+    results = {}
+    for variant in args.variants:
+        save_dir = os.path.join(args.workdir, f"weights_{variant}")
+        cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size)
+        print(f"\n=== {variant}: training to {args.epochs} epochs "
+              f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
+        trainer = Trainer(
+            cfg, data_root, mesh_dir, save_dir,
+            seed=args.seed, num_workers=args.num_workers,
+        )
+        best = trainer.fit(epochs=args.epochs, early_stop_acc=args.early_stop_acc)
+        results[variant] = {"best_add01d": best}
+        with open(os.path.join(args.workdir, "results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+
+    print("\n=== summary (val ADD-0.1d %, synthetic fixture) ===")
+    for variant, r in results.items():
+        print(f"  {variant:<18} {r['best_add01d']:.2f}")
+    print(f"\nresults.json + per-variant metrics.csv under {args.workdir}")
+    print("Reproduce the table with:")
+    print(f"  python scripts/compare.py --data-root {data_root} "
+          f"--mesh-dir {mesh_dir} --weights-root {args.workdir}")
+
+
+if __name__ == "__main__":
+    main()
