@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 import numpy as np
 
 
-def evaluate_variant(variant, variables, data_root, mesh_dir, batch_size, split):
+def evaluate_variant(variant, variables, data_root, mesh_dir, batch_size, split,
+                     img_size=None):
     import jax
 
     from pose6d_tpu.configs.presets import get_preset
@@ -28,7 +29,7 @@ def evaluate_variant(variant, variables, data_root, mesh_dir, batch_size, split)
     from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
     from pose6d_tpu.train.loop import TrainState, make_eval_step
 
-    cfg = get_preset(variant)
+    cfg = get_preset(variant, **({"img_size": img_size} if img_size else {}))
     flavor = "rgbd" if variant.startswith("rgbd") else "rgb"
     loader = LineMODPoseLoader(
         data_root, mode=split, flavor=flavor, img_size=cfg.img_size,
@@ -59,6 +60,9 @@ def main():
     ap.add_argument("--mesh-dir", required=True)
     ap.add_argument("--weights-root", default=".")
     ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--img-size", type=int, default=None,
+                    help="override the preset crop size (checkpoints are "
+                         "img-size independent: fully-conv backbone)")
     ap.add_argument("--split", default="val", choices=["val", "test"])
     ap.add_argument(
         "--variants", nargs="+",
@@ -79,7 +83,7 @@ def main():
         print(f"Evaluating {variant}...")
         results[variant] = evaluate_variant(
             variant, variables, args.data_root, args.mesh_dir,
-            args.batch_size, args.split,
+            args.batch_size, args.split, img_size=args.img_size,
         )
 
     if not results:
