@@ -24,7 +24,7 @@ import numpy as np
 BASELINE_FPS = 5000.0
 
 
-def _build_pipeline(batch_size):
+def _build_pipeline(batch_size, variant="rgb"):
     import jax.numpy as jnp
 
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
@@ -35,11 +35,14 @@ def _build_pipeline(batch_size):
     ycfg = YoloConfig(num_classes=13, dtype=jnp.bfloat16)
     yolo = YoloV8(ycfg)
     yvars = yolo.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3)))
-    pcfg = PoseNetConfig(variant="rgb", img_size=224, dtype=jnp.bfloat16)
+    pcfg = PoseNetConfig(variant=variant, img_size=224, dtype=jnp.bfloat16)
     pose = PoseNet(pcfg)
-    pvars = pose.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)))
+    pose_kwargs = {}
+    if variant == "rgbd":
+        pose_kwargs["depth"] = jnp.zeros((1, 224, 224, 1))
+    pvars = pose.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)), **pose_kwargs)
     pipe = PosePipeline(
-        PipelineConfig(variant="rgb", det_size=640, conf_thresh=0.0,
+        PipelineConfig(variant=variant, det_size=640, conf_thresh=0.0,
                        compute_dtype=jnp.bfloat16),
         ycfg, yvars, pvars, pcfg,
     )
@@ -153,14 +156,15 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
 
 
-def bench_e2e(batch_size=128, chain=200):
+def bench_e2e(batch_size=128, chain=200, variant="rgb"):
     import sys
 
-    pipe, frames, K = _build_pipeline(batch_size)
+    pipe, frames, K = _build_pipeline(batch_size, variant)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
     dt = tn - t1
-    print(f"[bench] t(N=1)={t1:.3f}s t(N={1 + chain})={tn:.3f}s", file=sys.stderr)
+    print(f"[bench] {variant}: t(N=1)={t1:.3f}s t(N={1 + chain})={tn:.3f}s",
+          file=sys.stderr)
     # sanity: 100 chained batch-64 iterations cannot take < 50 ms of device
     # time; if the difference is smaller, the runtime is not timing honestly
     # (observed on tunneled backends) -> fall back to per-stage sums
@@ -173,7 +177,11 @@ def bench_e2e(batch_size=128, chain=200):
 
 
 def main():
+    # headline: the rgb variant (the reference's fastest deployed path)
     fps, method = bench_e2e()
+    # flagship: rgbd (dual-ResNet50 + cross-modal fusion — __graft_entry__'s
+    # entry() model); shorter chain, the model is ~2x the compute
+    rgbd_fps, rgbd_method = bench_e2e(chain=100, variant="rgbd")
     print(
         json.dumps(
             {
@@ -182,6 +190,8 @@ def main():
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
                 "method": method,
+                "rgbd_value": round(rgbd_fps, 1),
+                "rgbd_method": rgbd_method,
             }
         )
     )
