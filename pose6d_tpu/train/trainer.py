@@ -100,14 +100,18 @@ class Trainer:
 
     def train_epoch(self, epoch: int, rng: np.random.Generator) -> dict:
         cfg = self.cfg
-        loss_sum, n_batches = 0.0, 0
+        losses = []
         t0 = time.monotonic()
         key = jax.random.key(self.seed * 100003 + epoch)
         for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
             key, sub = jax.random.split(key)
             self.state, metrics = self.train_step(self.state, batch, sub)
-            loss_sum += float(metrics["loss"])
-            n_batches += 1
+            losses.append(metrics["loss"])  # device array; fetched once below
+        # ONE host fetch per epoch: per-step .item() syncs pay a full RTT on
+        # tunneled backends; the fetch also forces execution of the whole
+        # epoch's dispatch chain (lazy remote backends)
+        loss_sum = float(np.sum(np.asarray(jax.numpy.stack(losses)))) if losses else 0.0
+        n_batches = len(losses)
         dt = time.monotonic() - t0
         steps_per_sec = n_batches / dt if dt > 0 else 0.0
         return {
@@ -118,23 +122,23 @@ class Trainer:
 
     def validate(self, rng: np.random.Generator) -> dict:
         cfg = self.cfg
-        add_sum = add_s_sum = acc_sum = loss_sum = 0.0
-        n_batches = 0
+        keys = ("add_mean", "add_s_mean", "add_01d_acc", "loss")
+        acc = []
         for batch in self.val_loader.batches(
             cfg.batch_size, rng, shuffle=False, drop_remainder=False
         ):
             m = self.eval_step(self.state, batch)
-            add_sum += float(m["add_mean"])
-            add_s_sum += float(m["add_s_mean"])
-            acc_sum += float(m["add_01d_acc"])
-            loss_sum += float(m["loss"])
-            n_batches += 1
-        n = max(n_batches, 1)
+            acc.append(jax.numpy.stack([m[k] for k in keys]))
+        # single host fetch for the whole split (see train_epoch)
+        vals = (
+            np.mean(np.asarray(jax.numpy.stack(acc)), axis=0)
+            if acc else np.zeros(len(keys))
+        )
         return {
-            "val_add": add_sum / n,
-            "val_add_s": add_s_sum / n,
-            "val_acc": acc_sum / n,
-            "val_loss": loss_sum / n,
+            "val_add": float(vals[0]),
+            "val_add_s": float(vals[1]),
+            "val_acc": float(vals[2]),
+            "val_loss": float(vals[3]),
         }
 
     def fit(self, epochs: Optional[int] = None, early_stop_acc: Optional[float] = None) -> float:
