@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--num-workers", type=int, default=4)
     ap.add_argument("--early-stop-acc", type=float, default=99.5)
+    # From-scratch-on-synthetic deviations from the reference recipe (which
+    # assumes an ImageNet-pretrained backbone + real data): a higher base LR
+    # and a longer plateau patience, because val ADD-0.1d sits at 0 early and
+    # patience-5 halves the LR into the ground before rotation converges.
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--patience", type=int, default=12)
     ap.add_argument(
         "--variants", nargs="+",
         default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
@@ -57,7 +63,8 @@ def main():
     results = {}
     for variant in args.variants:
         save_dir = os.path.join(args.workdir, f"weights_{variant}")
-        cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size)
+        cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
+                         learning_rate=args.lr, plateau_patience=args.patience)
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
         trainer = Trainer(
