@@ -50,10 +50,15 @@ def main():
     ap.add_argument("--data-root", default=None, help="for depth lookup + GT/K")
     ap.add_argument("--output", default="inference_result.png")
     ap.add_argument("--num-classes", type=int, default=13)
+    ap.add_argument("--img-size", type=int, default=224,
+                    help="pose crop size (checkpoints are size-independent)")
+    ap.add_argument("--f32", action="store_true",
+                    help="compute in float32 (CPU runs; default bfloat16)")
     args = ap.parse_args()
 
     import cv2
     import jax
+    import jax.numpy as jnp
 
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
@@ -68,12 +73,18 @@ def main():
     if yvars is None:
         sys.exit(f"no detector checkpoint in {args.yolo_weights}")
 
-    pose_vars = load_model_variables(args.pose_weights, get_preset(args.variant))
+    pose_vars = load_model_variables(
+        args.pose_weights, get_preset(args.variant, img_size=args.img_size)
+    )
     if pose_vars is None:
         sys.exit(f"no pose checkpoint in {args.pose_weights}")
 
     pipe = PosePipeline(
-        PipelineConfig(variant=args.variant), ycfg, yvars, pose_vars,
+        PipelineConfig(
+            variant=args.variant, img_size=args.img_size,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+        ),
+        ycfg, yvars, pose_vars,
     )
 
     # ---- load inputs

@@ -85,3 +85,47 @@ def test_compare_cli_with_missing_mesh(demo_workdir, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "rgbd_geometric" in out and "Best model" in out
+
+
+def test_infer_cli(demo_workdir, tmp_path, capsys):
+    # single-image inference CLI on the demo-trained checkpoints
+    import glob
+
+    img = sorted(
+        glob.glob(os.path.join(demo_workdir, "Linemod_synthetic", "data",
+                               "01", "rgb", "*.png"))
+    )[0]
+    out_png = str(tmp_path / "overlay.png")
+    _run_cli(
+        "infer.py",
+        ["--variant", "rgbd_geometric", "--image", img,
+         "--yolo-weights", os.path.join(demo_workdir, "yolo_ckpt"),
+         "--pose-weights", os.path.join(demo_workdir, "weights_rgbd_geometric"),
+         "--mesh-dir", os.path.join(demo_workdir, "Linemod_synthetic", "models"),
+         "--data-root", os.path.join(demo_workdir, "Linemod_synthetic", "data"),
+         "--output", out_png, "--num-classes", "2", "--img-size", "32", "--f32"],
+    )
+    assert os.path.isfile(out_png)
+    assert "quat(xyzw):" in capsys.readouterr().out
+
+
+def test_visualize_yolo_cli(demo_workdir, tmp_path):
+    out_dir = str(tmp_path / "viz")
+    _run_cli(
+        "visualize_yolo.py",
+        ["--data-root", os.path.join(demo_workdir, "Linemod_synthetic", "data"),
+         "--yolo-weights", os.path.join(demo_workdir, "yolo_ckpt"),
+         "--num-images", "2", "--out-dir", out_dir],
+    )
+    import glob
+
+    assert glob.glob(os.path.join(out_dir, "*.png"))
+
+
+def test_package_and_setup_weights_round_trip(demo_workdir, tmp_path, capsys):
+    zip_path = str(tmp_path / "weights.zip")
+    _run_cli("package_weights.py", ["--root", demo_workdir, "--out", zip_path])
+    assert os.path.isfile(zip_path)
+    dest = str(tmp_path / "unpacked")
+    _run_cli("setup_weights.py", ["--zip", zip_path, "--dest", dest])
+    assert os.path.isdir(os.path.join(dest, "weights_rgbd_geometric"))
