@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--num-samples", type=int, default=3)
     ap.add_argument("--out-dir", default="results")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--img-size", type=int, default=224,
+                    help="pose crop size (checkpoints are size-independent)")
     args = ap.parse_args()
 
     import cv2
@@ -46,7 +48,8 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     loader = LineMODPoseLoader(
-        args.data_root, mode="val", flavor="rgbd", augment_bbox=False, num_workers=0
+        args.data_root, mode="val", flavor="rgbd", img_size=args.img_size,
+        augment_bbox=False, num_workers=0
     )
     if len(loader) == 0:
         sys.exit("no val samples found")
@@ -54,10 +57,14 @@ def main():
     models = {}
     for variant in VARIANTS:
         variables = load_model_variables(
-            os.path.join(args.weights_root, f"weights_{variant}"), get_preset(variant)
+            os.path.join(args.weights_root, f"weights_{variant}"),
+            get_preset(variant, img_size=args.img_size),
         )
         if variables is not None:
-            models[variant] = (PoseNet(PoseNetConfig(variant=variant)), variables)
+            models[variant] = (
+                PoseNet(PoseNetConfig(variant=variant, img_size=args.img_size)),
+                variables,
+            )
     if not models:
         sys.exit("no trained models found")
 

@@ -129,3 +129,17 @@ def test_package_and_setup_weights_round_trip(demo_workdir, tmp_path, capsys):
     dest = str(tmp_path / "unpacked")
     _run_cli("setup_weights.py", ["--zip", zip_path, "--dest", dest])
     assert os.path.isdir(os.path.join(dest, "weights_rgbd_geometric"))
+
+
+def test_compare_visual_cli(demo_workdir, tmp_path):
+    out_dir = str(tmp_path / "cmp_viz")
+    _run_cli(
+        "compare_visual.py",
+        ["--data-root", os.path.join(demo_workdir, "Linemod_synthetic", "data"),
+         "--mesh-dir", os.path.join(demo_workdir, "Linemod_synthetic", "models"),
+         "--weights-root", demo_workdir,
+         "--num-samples", "2", "--out-dir", out_dir, "--img-size", "32"],
+    )
+    import glob
+
+    assert glob.glob(os.path.join(out_dir, "*.png"))
