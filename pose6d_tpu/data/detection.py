@@ -134,6 +134,11 @@ class DetectionLoader:
         self.num_classes = len(obj_folders)
         self.img_size = img_size
         self.max_gt = max_gt
+        # single-slot prefetch: build batch N+1 while the device runs step N
+        # (same pattern as pipeline.LineMODPoseLoader)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._prefetch = ThreadPoolExecutor(max_workers=1)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -181,17 +186,31 @@ class DetectionLoader:
         order = np.arange(len(self.samples))
         if shuffle:
             rng.shuffle(order)
+
+        def make_batch(chunk, n_valid):
+            items = [self.load_sample(int(i)) for i in chunk]
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            valid = np.zeros(batch_size, bool)
+            valid[:n_valid] = True
+            batch["valid"] = valid
+            return batch
+
+        plan = []
         n = len(order)
         for start in range(0, n, batch_size):
             chunk = order[start : start + batch_size]
             n_valid = len(chunk)
             if n_valid < batch_size:
                 if drop_remainder:
-                    return
+                    break
                 chunk = np.concatenate([chunk, np.full(batch_size - n_valid, chunk[-1])])
-            items = [self.load_sample(int(i)) for i in chunk]
-            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-            valid = np.zeros(batch_size, bool)
-            valid[:n_valid] = True
-            batch["valid"] = valid
-            yield batch
+            plan.append((chunk, n_valid))
+
+        fut = None
+        for c in plan:
+            nxt = self._prefetch.submit(make_batch, *c)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()

@@ -59,6 +59,12 @@ class LineMODPoseLoader:
         self.with_depth = flavor == "rgbd"
         self.samples = build_index(data_root, mode=mode, require_depth=self.with_depth)
         self._pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        # single-slot prefetch executor: builds batch N+1 while the consumer's
+        # device step N runs (dispatch is async, so the main thread is mostly
+        # blocked on device completion — the overlap is real wall-clock).
+        # Separate from _pool: make_batch fans out into _pool, and submitting
+        # it to the same pool could deadlock with all workers busy.
+        self._prefetch = ThreadPoolExecutor(max_workers=1) if num_workers > 0 else None
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -146,13 +152,30 @@ class LineMODPoseLoader:
             batch["valid"] = valid
             return batch
 
+        plan = []
         n = len(order)
         for start in range(0, n, batch_size):
             chunk = order[start : start + batch_size]
             if len(chunk) < batch_size:
                 if drop_remainder:
-                    return
+                    break
                 pad = np.full(batch_size - len(chunk), chunk[-1])
-                yield make_batch(np.concatenate([chunk, pad]), len(chunk))
+                plan.append((np.concatenate([chunk, pad]), len(chunk)))
             else:
-                yield make_batch(chunk, len(chunk))
+                plan.append((chunk, len(chunk)))
+
+        if self._prefetch is None:
+            for c in plan:
+                yield make_batch(*c)
+            return
+        # one batch in flight ahead of the consumer; the 1-thread executor
+        # serializes make_batch calls, so rng consumption order (and thus
+        # augmentation determinism) is unchanged
+        fut = None
+        for c in plan:
+            nxt = self._prefetch.submit(make_batch, *c)
+            if fut is not None:
+                yield fut.result()
+            fut = nxt
+        if fut is not None:
+            yield fut.result()
