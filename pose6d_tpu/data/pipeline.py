@@ -51,12 +51,18 @@ class LineMODPoseLoader:
         img_size: int = 224,
         augment_bbox: Optional[bool] = None,
         num_workers: int = 8,
+        cache_decoded: bool = False,
     ):
         self.flavor = flavor
         self.img_size = img_size
         self.mode = mode
         self.augment_bbox = (mode == "train") if augment_bbox is None else augment_bbox
         self.with_depth = flavor == "rgbd"
+        # optional in-RAM decode cache: PNG decode dominates host time per
+        # step on 1-CPU hosts (~10 ms/frame); crops/jitter stay per-epoch.
+        # LineMOD-scale memory cost is ~1.7 GB RGB (+0.6 GB depth).
+        self.cache_decoded = cache_decoded
+        self._decoded: Dict[str, np.ndarray] = {}
         self.samples = build_index(data_root, mode=mode, require_depth=self.with_depth)
         self._pool = ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
         # single-slot prefetch executor: builds batch N+1 while the consumer's
@@ -75,14 +81,23 @@ class LineMODPoseLoader:
         import cv2
 
         s: Sample = self.samples[idx]
-        bgr = cv2.imread(s.img_path)
+
+        def decode(path, flags=None):
+            if self.cache_decoded and path in self._decoded:
+                return self._decoded[path]
+            img = cv2.imread(path) if flags is None else cv2.imread(path, flags)
+            if self.cache_decoded and img is not None:
+                self._decoded[path] = img
+            return img
+
+        bgr = decode(s.img_path)
         rgb_image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         h_img, w_img = rgb_image.shape[:2]
 
         depth_image = None
         if self.with_depth:
             depth_image = (
-                cv2.imread(s.depth_path, cv2.IMREAD_UNCHANGED) if s.depth_path else None
+                decode(s.depth_path, cv2.IMREAD_UNCHANGED) if s.depth_path else None
             )
             if depth_image is None:
                 depth_image = np.zeros((h_img, w_img), dtype=np.uint16)

@@ -41,6 +41,7 @@ class Trainer:
         num_workers: int = 8,
         profile_dir: Optional[str] = None,
         pretrained_backbone: Optional[str] = None,
+        cache_decoded: bool = False,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -49,11 +50,11 @@ class Trainer:
         flavor = "rgbd" if cfg.variant.startswith("rgbd") else "rgb"
         self.train_loader = LineMODPoseLoader(
             data_root, mode="train", flavor=flavor, img_size=cfg.img_size,
-            num_workers=num_workers,
+            num_workers=num_workers, cache_decoded=cache_decoded,
         )
         self.val_loader = LineMODPoseLoader(
             data_root, mode="val", flavor=flavor, img_size=cfg.img_size,
-            augment_bbox=False, num_workers=num_workers,
+            augment_bbox=False, num_workers=num_workers, cache_decoded=cache_decoded,
         )
 
         self.evaluator = ADDEvaluator(mesh_dir)
