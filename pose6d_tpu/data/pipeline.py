@@ -52,7 +52,13 @@ class LineMODPoseLoader:
         augment_bbox: Optional[bool] = None,
         num_workers: int = 8,
         cache_decoded: bool = False,
+        compact_arrays: bool = False,
     ):
+        # compact_arrays: emit rgb as uint8 and depth as uint16 'depth_mm'
+        # instead of float32; the jitted step converts on device
+        # (train.loop.decompress_batch) bit-exactly. Quarters the H2D bytes —
+        # the dominant per-step cost on tunneled single-CPU hosts.
+        self.compact_arrays = compact_arrays
         self.flavor = flavor
         self.img_size = img_size
         self.mode = mode
@@ -113,7 +119,7 @@ class LineMODPoseLoader:
         rgb_crop = crop_resize_image(rgb_image, p)
 
         out: Dict[str, np.ndarray] = {
-            "rgb": rgb_crop.astype(np.float32) / 255.0,
+            "rgb": rgb_crop if self.compact_arrays else rgb_crop.astype(np.float32) / 255.0,
             "quat": _R.from_matrix(s.rot_mat).as_quat().astype(np.float32),
             "trans": (s.trans_mm / 1000.0).astype(np.float32),
             "obj_id": np.int32(s.obj_id),
@@ -125,9 +131,12 @@ class LineMODPoseLoader:
 
         if self.with_depth:
             depth_crop = crop_resize_image(depth_image, p)  # uint16, reference order
-            depth_raw_m = depth_crop.astype(np.float32) / 1000.0
-            out["depth_raw"] = depth_raw_m
-            out["depth"] = normalize_depth(depth_raw_m)[..., None]
+            if self.compact_arrays:
+                out["depth_mm"] = depth_crop
+            else:
+                depth_raw_m = depth_crop.astype(np.float32) / 1000.0
+                out["depth_raw"] = depth_raw_m
+                out["depth"] = normalize_depth(depth_raw_m)[..., None]
 
         return out
 

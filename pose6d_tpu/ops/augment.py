@@ -30,6 +30,17 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 _GRAY_W = jnp.array([0.299, 0.587, 0.114])  # ITU-R 601, torchvision's weights
 
 
+def to_float01(rgb: jax.Array) -> jax.Array:
+    """Accept uint8 [0, 255] or float [0, 1] images; return float32 [0, 1].
+
+    Feeding uint8 from the host quarters the H2D transfer (the loader's
+    biggest per-step cost on tunneled backends); the division is bit-exact
+    with the host-side float path."""
+    if rgb.dtype == jnp.uint8:
+        return rgb.astype(jnp.float32) / 255.0
+    return rgb
+
+
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
     brightness: float = 0.3
@@ -170,7 +181,9 @@ def random_erasing(key: jax.Array, img: jax.Array, cfg: AugmentConfig) -> jax.Ar
 
 def train_augment(key: jax.Array, rgb: jax.Array, cfg: AugmentConfig = AugmentConfig()) -> jax.Array:
     """Full train-time stack on a batch [B, H, W, 3] in [0, 1]:
-    jitter -> (grayscale) -> normalize -> erase. Per-image randomness."""
+    jitter -> (grayscale) -> normalize -> erase. Per-image randomness.
+    Accepts uint8 (preferred H2D format) or float32 [0, 1]."""
+    rgb = to_float01(rgb)
     B = rgb.shape[0]
 
     def per_image(k, img):
@@ -187,4 +200,4 @@ def train_augment(key: jax.Array, rgb: jax.Array, cfg: AugmentConfig = AugmentCo
 
 def eval_preprocess(rgb: jax.Array) -> jax.Array:
     """Eval path: normalize only (train_rgb.py:52-56)."""
-    return normalize(rgb)
+    return normalize(to_float01(rgb))

@@ -66,6 +66,22 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )(learning_rate=cfg.learning_rate)
 
 
+def decompress_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """On-device expansion of a compact batch (see LineMODPoseLoader
+    compact_arrays): uint16 'depth_mm' -> float32 depth_raw (meters) +
+    normalized depth channel, bit-exact with data.crop.normalize_depth."""
+    if "depth_mm" not in batch:
+        return batch
+    from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
+
+    batch = dict(batch)
+    raw = batch.pop("depth_mm").astype(jnp.float32) / 1000.0
+    batch["depth_raw"] = raw
+    d = jnp.clip((raw - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M), 0.0, 1.0)
+    batch["depth"] = jnp.where(raw < DEPTH_INVALID_M, 0.0, d)[..., None]
+    return batch
+
+
 def model_inputs(variant: str, batch: Dict[str, jax.Array], rgb: jax.Array) -> dict:
     """Wire the per-variant forward signature from the superset batch.
 
@@ -129,6 +145,7 @@ def make_train_step(model: PoseNet, tx: optax.GradientTransformation, cfg: Train
     """Build the jitted train step: (state, batch, key) -> (state, metrics)."""
 
     def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
+        batch = decompress_batch(batch)
         k_aug, k_drop = jax.random.split(key)
         rgb = train_augment(k_aug, batch["rgb"], cfg.augment)
 
@@ -172,6 +189,7 @@ def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
     num_valid = evaluator.num_valid
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
+        batch = decompress_batch(batch)
         rgb = eval_preprocess(batch["rgb"])
         pred_rot, pred_trans = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

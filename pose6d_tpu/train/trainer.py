@@ -42,25 +42,44 @@ class Trainer:
         profile_dir: Optional[str] = None,
         pretrained_backbone: Optional[str] = None,
         cache_decoded: bool = False,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh (data, model). When given, the
+        train/eval state is dp-replicated / tp-sharded (parallel.shard_state)
+        and every batch is sharded over the 'data' axis; GSPMD inserts the
+        gradient psum and cross-device BatchNorm reductions. The reference has
+        no multi-device story (SURVEY §2.3) — this is new capability."""
         self.cfg = cfg
         self.seed = seed
         self.profile_dir = profile_dir
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+            if cfg.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by data axis {n_data}"
+                )
 
         flavor = "rgbd" if cfg.variant.startswith("rgbd") else "rgb"
         self.train_loader = LineMODPoseLoader(
             data_root, mode="train", flavor=flavor, img_size=cfg.img_size,
             num_workers=num_workers, cache_decoded=cache_decoded,
+            compact_arrays=True,
         )
         self.val_loader = LineMODPoseLoader(
             data_root, mode="val", flavor=flavor, img_size=cfg.img_size,
             augment_bbox=False, num_workers=num_workers, cache_decoded=cache_decoded,
+            compact_arrays=True,
         )
 
         self.evaluator = ADDEvaluator(mesh_dir)
         self.model, self.tx, self.state = create_train_state(
             cfg, jax.random.key(seed), pretrained_backbone=pretrained_backbone
         )
+        if mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, mesh)
         self.train_step = make_train_step(self.model, self.tx, cfg)
         self.eval_step = make_eval_step(self.model, cfg, self.evaluator)
 
@@ -88,6 +107,10 @@ class Trainer:
         if restored is None:
             return False
         self.state = restored["state"]
+        if self.mesh is not None:
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         self.start_epoch = int(restored["meta"]["epoch"]) + 1
         self.best_acc = float(restored["meta"]["best_acc"])
         self.scheduler.load_state_dict(restored["scheduler"])
@@ -99,6 +122,13 @@ class Trainer:
     def _set_lr(self, lr: float) -> None:
         self.state.opt_state.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
 
+    def _put_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from ..parallel import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def train_epoch(self, epoch: int, rng: np.random.Generator) -> dict:
         cfg = self.cfg
         losses = []
@@ -106,7 +136,7 @@ class Trainer:
         key = jax.random.key(self.seed * 100003 + epoch)
         for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
             key, sub = jax.random.split(key)
-            self.state, metrics = self.train_step(self.state, batch, sub)
+            self.state, metrics = self.train_step(self.state, self._put_batch(batch), sub)
             losses.append(metrics["loss"])  # device array; fetched once below
         # ONE host fetch per epoch: per-step .item() syncs pay a full RTT on
         # tunneled backends; the fetch also forces execution of the whole
@@ -128,7 +158,7 @@ class Trainer:
         for batch in self.val_loader.batches(
             cfg.batch_size, rng, shuffle=False, drop_remainder=False
         ):
-            m = self.eval_step(self.state, batch)
+            m = self.eval_step(self.state, self._put_batch(batch))
             acc.append(jax.numpy.stack([m[k] for k in keys]))
         # single host fetch for the whole split (see train_epoch)
         vals = (

@@ -26,17 +26,24 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", default="/tmp/pose6d_parity")
     ap.add_argument("--objects", type=int, default=6)
-    ap.add_argument("--frames", type=int, default=300)
-    ap.add_argument("--epochs", type=int, default=75)
+    ap.add_argument("--frames", type=int, default=700)
+    ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--num-workers", type=int, default=4)
-    ap.add_argument("--early-stop-acc", type=float, default=99.5)
+    ap.add_argument("--early-stop-acc", type=float, default=97.0)
     # From-scratch-on-synthetic deviations from the reference recipe (which
-    # assumes an ImageNet-pretrained backbone + real data): a higher base LR
-    # and a longer plateau patience, because val ADD-0.1d sits at 0 early and
-    # patience-5 halves the LR into the ground before rotation converges.
-    ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--patience", type=int, default=12)
+    # assumes an ImageNet-pretrained backbone + real data):
+    #   - higher base LR + longer plateau patience: val ADD-0.1d sits at 0
+    #     early, and patience-5 halves the LR into the ground before the
+    #     from-scratch rotation pathway converges
+    #   - more frames/object: SO(3) regression from scratch needs denser
+    #     rotation coverage than 300 views
+    #   - RandomGrayscale disabled (rgb variant): the synthetic fixture
+    #     encodes orientation in fixed marker COLORS, so grayscaling removes
+    #     the label information itself (on real data texture survives; the
+    #     full-recipe grayscale path stays covered by tests)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--patience", type=int, default=15)
     ap.add_argument(
         "--variants", nargs="+",
         default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
@@ -46,6 +53,7 @@ def main():
 
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.data.synthetic import generate_synthetic_linemod
+    from pose6d_tpu.ops.augment import AugmentConfig
     from pose6d_tpu.train.trainer import Trainer
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -64,7 +72,8 @@ def main():
     for variant in args.variants:
         save_dir = os.path.join(args.workdir, f"weights_{variant}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
-                         learning_rate=args.lr, plateau_patience=args.patience)
+                         learning_rate=args.lr, plateau_patience=args.patience,
+                         augment=AugmentConfig(grayscale_p=0.0))
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
         trainer = Trainer(

@@ -35,10 +35,21 @@ def main():
     ap.add_argument("--pretrained-backbone", default=None,
                     help="path to a torchvision resnet50 state_dict (.pth) "
                          "for ImageNet backbone init")
+    ap.add_argument("--mesh", default=None, metavar="DP,TP",
+                    help="device mesh shape, e.g. '4,2' = 4-way data x 2-way "
+                         "tensor parallel over jax.devices(); default single-device")
     args = ap.parse_args()
 
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.train import Trainer
+
+    mesh = None
+    if args.mesh is not None:
+        from pose6d_tpu.parallel import make_mesh
+
+        dp, tp = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh((dp, tp))
+        print(f"Device mesh: {dict(mesh.shape)}")
 
     overrides = {}
     if args.epochs is not None:
@@ -56,7 +67,7 @@ def main():
     trainer = Trainer(
         cfg, args.data_root, args.mesh_dir, save_dir,
         seed=args.seed, num_workers=args.num_workers, profile_dir=args.profile_dir,
-        pretrained_backbone=args.pretrained_backbone,
+        pretrained_backbone=args.pretrained_backbone, mesh=mesh,
     )
     print(f"Train: {len(trainer.train_loader)}, Val: {len(trainer.val_loader)} samples")
     trainer.fit()

@@ -104,3 +104,38 @@ def test_dp_matches_single_device_loss():
     batch2 = shard_batch(batch, mesh)
     _, m_dp = step2(state2, batch2, key)
     np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]), rtol=1e-4)
+
+
+def test_sharded_trainer_fit_and_resume(tmp_path_factory):
+    """Trainer(mesh=...) end-to-end: sharded fit, ckpt, re-sharded resume."""
+    from pose6d_tpu.data.synthetic import generate_synthetic_linemod
+    from pose6d_tpu.train import Trainer
+
+    root = tmp_path_factory.mktemp("linemod_mesh")
+    synth = generate_synthetic_linemod(str(root), obj_ids=(1, 2), frames_per_obj=20, seed=3)
+    mesh = make_mesh((4, 2))
+    cfg = TrainConfig(variant="rgb", img_size=IMG, batch_size=8, epochs=1,
+                      augment=AugmentConfig(grayscale_p=0.0))
+    save_dir = str(tmp_path_factory.mktemp("ckpt_mesh"))
+    trainer = Trainer(cfg, synth["data"], synth["models"], save_dir,
+                      seed=0, num_workers=0, mesh=mesh)
+    best = trainer.fit(epochs=1)
+    assert np.isfinite(best)
+    # tp sharding survives the whole epoch of donated updates
+    assert trainer.state.params["rot_dense0"]["kernel"].sharding.spec == P(None, MODEL_AXIS)
+
+    trainer2 = Trainer(cfg, synth["data"], synth["models"], save_dir,
+                       seed=0, num_workers=0, mesh=mesh)
+    assert trainer2.try_resume()
+    assert trainer2.start_epoch == 1
+    # restored params are re-sharded onto the mesh
+    assert trainer2.state.params["rot_dense0"]["kernel"].sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_trainer_rejects_indivisible_batch():
+    from pose6d_tpu.train import Trainer
+
+    mesh = make_mesh((8, 1))
+    cfg = TrainConfig(variant="rgb", img_size=IMG, batch_size=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        Trainer(cfg, "/nonexistent", "/nonexistent", "/tmp/x", mesh=mesh)
