@@ -173,7 +173,9 @@ class DetectionLoader:
         gt_labels[0] = s["class_id"]
         gt_mask[0] = True
         return {
-            "image": canvas.astype(np.float32) / 255.0,
+            # uint8: 4x fewer H2D bytes than float32; the jitted consumers
+            # convert on device (ops.augment.to_float01, bit-exact)
+            "image": canvas,
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_mask": gt_mask,

@@ -49,6 +49,23 @@ def _random_rotation(rng: np.random.Generator) -> np.ndarray:
     return q
 
 
+def _bounded_rotation(rng: np.random.Generator, max_angle_deg: float) -> np.ndarray:
+    """Rotation uniformly-distributed-in-axis within a geodesic ball of
+    `max_angle_deg` around identity.
+
+    Mirrors real capture setups (LineMOD objects are seen from a bounded
+    viewing range, not all of SO(3)). Bounded sampling also keeps the task
+    inside what continuous quaternion regression can represent: a single-
+    valued continuous map cannot cover all of SO(3) (quaternion double
+    cover), so uniform-SO(3) fixtures have an irreducible error floor that
+    real LineMOD data never exhibits."""
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    angle = np.deg2rad(rng.uniform(0.0, max_angle_deg))
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1.0 - np.cos(angle)) * (K @ K)
+
+
 def generate_synthetic_linemod(
     root: str,
     obj_ids: tuple = (1, 2),
@@ -56,8 +73,13 @@ def generate_synthetic_linemod(
     img_w: int = 640,
     img_h: int = 480,
     seed: int = 0,
+    max_angle_deg: float = 0.0,
 ) -> dict:
-    """Write a synthetic dataset under `root`; returns paths dict."""
+    """Write a synthetic dataset under `root`; returns paths dict.
+
+    `max_angle_deg` > 0 bounds rotations to a geodesic ball of that radius
+    (realistic bounded viewing range, see _bounded_rotation); 0 keeps the
+    default uniform-SO(3) sampling."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -96,7 +118,11 @@ def generate_synthetic_linemod(
         color = tuple(int(c) for c in rng.integers(80, 255, size=3))
 
         for frame in range(frames_per_obj):
-            R_m2c = _random_rotation(rng)
+            R_m2c = (
+                _bounded_rotation(rng, max_angle_deg)
+                if max_angle_deg > 0
+                else _random_rotation(rng)
+            )
             t_m = np.array(
                 [rng.uniform(-0.08, 0.08), rng.uniform(-0.06, 0.06), rng.uniform(0.6, 1.1)]
             )

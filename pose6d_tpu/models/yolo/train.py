@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ...ops.augment import adjust_brightness, adjust_saturation, _rgb_to_hsv, _hsv_to_rgb
+from ...ops.augment import _hsv_to_rgb, _rgb_to_hsv, to_float01
 from .decode import batched_nms, decode_outputs, dfl_expectation, make_anchors
 from .loss import detection_loss
 from .model import YoloConfig, YoloV8
@@ -149,7 +149,7 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
         k_hsv, k_flip, k_aff = jax.random.split(key, 3)
         B = batch["image"].shape[0]
         imgs = jax.vmap(lambda k, im: hsv_augment(k, im, cfg))(
-            jax.random.split(k_hsv, B), batch["image"]
+            jax.random.split(k_hsv, B), to_float01(batch["image"])
         )
         imgs, boxes = jax.vmap(
             lambda k, im, bx: flip_augment(k, im, bx, cfg.flip_p, cfg.img_size)
@@ -402,12 +402,13 @@ class DetectionTrainer:
         return True
 
     def _infer_impl(self, params, batch_stats, images):
+        images = to_float01(images)
         outputs = self.model.apply({"params": params, "batch_stats": batch_stats}, images)
         boxes, scores = decode_outputs(outputs, self.ycfg, images.shape[1:3])
         return batched_nms(boxes, scores, max_det=10, pre_topk=100)
 
     def train_epoch(self, epoch: int, rng: np.random.Generator) -> float:
-        loss_sum, n = 0.0, 0
+        losses_dev = []
         key = jax.random.key(self.cfg.seed * 7919 + epoch)
         for batch in self.train_loader.batches(self.cfg.batch_size, rng, shuffle=True):
             key, sub = jax.random.split(key)
@@ -416,9 +417,12 @@ class DetectionTrainer:
             )
             self.global_step = self.global_step + 1
             self.ema_params = self._ema_fn(self.ema_params, self.params, self.global_step)
-            loss_sum += float(losses["total"])
-            n += 1
-        return loss_sum / max(n, 1)
+            losses_dev.append(losses["total"])
+        # ONE host fetch per epoch (per-step .item() pays a full tunnel RTT
+        # and also forces execution of the whole lazy dispatch chain)
+        if not losses_dev:
+            return 0.0
+        return float(np.mean(np.asarray(jnp.stack(losses_dev))))
 
     def validate_map50(self, rng: np.random.Generator) -> float:
         preds, gts = [], []

@@ -42,8 +42,13 @@ def main():
     #     encodes orientation in fixed marker COLORS, so grayscaling removes
     #     the label information itself (on real data texture survives; the
     #     full-recipe grayscale path stays covered by tests)
+    #   - bounded rotation range (default 75 deg): real LineMOD poses span a
+    #     bounded viewing range; uniform-SO(3) sampling puts the quaternion
+    #     double-cover seam inside the data, which no continuous regressor
+    #     (the reference architecture included) can cross
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--patience", type=int, default=15)
+    ap.add_argument("--max-angle-deg", type=float, default=75.0)
     ap.add_argument(
         "--variants", nargs="+",
         default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
@@ -66,6 +71,7 @@ def main():
             os.path.join(args.workdir, "synth"),
             obj_ids=tuple(range(1, args.objects + 1)),
             frames_per_obj=args.frames, seed=args.seed,
+            max_angle_deg=args.max_angle_deg,
         )
 
     results = {}

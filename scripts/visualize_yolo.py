@@ -50,14 +50,16 @@ def main():
 
     @jax.jit
     def infer(images):
-        outputs = model.apply(variables, images)
+        from pose6d_tpu.ops.augment import to_float01
+
+        outputs = model.apply(variables, to_float01(images))
         boxes, scores = decode_outputs(outputs, ycfg, (640, 640))
         return batched_nms(boxes, scores, max_det=10, pre_topk=100)
 
     for i, idx in enumerate(idxs):
         s = loader.load_sample(int(idx))
         dets = infer(jnp.asarray(s["image"])[None])
-        canvas = (s["image"] * 255).astype(np.uint8)[:, :, ::-1].copy()
+        canvas = s["image"][:, :, ::-1].copy()  # loader emits uint8 RGB
         for b, c, sc, v in zip(
             np.asarray(dets["boxes"])[0], np.asarray(dets["classes"])[0],
             np.asarray(dets["scores"])[0], np.asarray(dets["valid"])[0],

@@ -167,3 +167,15 @@ def test_get_gt_and_K_matches_index(synth):
     # missing folder: both fall back
     r3, t3, K3 = get_gt_and_K(synth["data"], "99", 0)
     assert r3 is None and np.allclose(K3, DEFAULT_K)
+
+
+def test_bounded_rotation_within_ball():
+    from pose6d_tpu.data.synthetic import _bounded_rotation
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        R = _bounded_rotation(rng, 75.0)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) > 0.99
+        angle = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+        assert angle <= 75.0 + 1e-6
