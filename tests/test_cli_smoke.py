@@ -13,7 +13,8 @@ import sys
 
 import pytest
 
-SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SCRIPTS = os.path.join(ROOT, "scripts")
 
 
 def _run_cli(script, argv):
@@ -143,3 +144,39 @@ def test_compare_visual_cli(demo_workdir, tmp_path):
     import glob
 
     assert glob.glob(os.path.join(out_dir, "*.png"))
+
+
+def test_parity_run_summary_helpers(tmp_path):
+    """summarize_variant + write_markdown condense metrics.csv correctly."""
+    import argparse
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_run", os.path.join(ROOT, "scripts", "parity_run.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    save = tmp_path / "weights_rgb"
+    save.mkdir()
+    rows = [
+        "epoch,train_loss,val_add,val_add_s,val_acc,lr,steps_per_sec,imgs_per_sec",
+        "0,2.0,150.0,60.0,0.0,0.0005,3.0,96.0",
+        "1,1.0,80.0,30.0,40.0,0.0005,3.0,96.0",
+        "2,0.5,20.0,9.0,90.0,0.0005,3.0,96.0",
+    ]
+    (save / "metrics.csv").write_text("\n".join(rows) + "\n")
+
+    r = mod.summarize_variant(str(save), 90.0)
+    assert r["best_epoch"] == 2 and r["epochs_run"] == 3
+    assert r["val_add_mm_at_best"] == 20.0 and r["epoch_half_best"] == 2
+
+    args = argparse.Namespace(objects=6, frames=700, max_angle_deg=75.0,
+                              lr=5e-4, patience=15, batch_size=32,
+                              early_stop_acc=97.0)
+    # write_markdown targets the repo root; patch via cwd-independent check
+    mod.write_markdown(args, {"rgb": r})
+    out = os.path.join(ROOT, "PARITY_RESULTS.md")
+    assert os.path.exists(out)
+    text = open(out).read()
+    assert "| rgb | 90.00 | 2 | 3 | 20.0 | 9.0 | 0.5000 |" in text
