@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Per-component error probe for trained parity checkpoints.
+
+Decomposes each variant's val error into rotation (geodesic, degrees) and
+translation (|xy|, |z|, mm) so the ADD-0.1d numbers in PARITY_RESULTS.md can
+be attributed: the rgb variant regresses x/y from a recentred crop that
+carries no crop-location information, so its xy error is architecture-bound
+(the same bound that caps the reference's own PoseNetRGB at 13.35% ADD-0.1d
+on real LineMOD, /root/reference/README.md:28-33), while its rotation
+pathway — the part the trainer actually has to learn — converges to a few
+degrees. The geometric/depth variants replace the unlearnable xy (and z)
+regression with pinhole/depth recovery, which is why their ADD-0.1d is far
+higher in both frameworks.
+
+Runs on CPU by default so it can execute while the TPU chip is busy
+training; restore races against the trainer's per-epoch orbax save are
+retried via a /tmp snapshot.
+
+Usage:
+  python scripts/probe_components.py --workdir /root/repo/parity \
+      --variants rgb rgb_geometric --ckpt best --append-md
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def snapshot_restore(save_dir: str, state, name: str):
+    """Copy the checkpoint out of the live training dir, then restore.
+
+    The trainer replaces `last`/`best` atomically-by-rename once per epoch;
+    a direct restore can catch the window where the directory is absent.
+    """
+    from pose6d_tpu.train.checkpoint import CheckpointManager
+
+    snap = os.path.join("/tmp", f"probe_snap_{os.path.basename(save_dir)}")
+    for _ in range(10):
+        try:
+            shutil.rmtree(snap, ignore_errors=True)
+            shutil.copytree(os.path.join(save_dir, name), os.path.join(snap, name))
+            restored = CheckpointManager(snap).restore(state, name=name)
+            if restored is not None:
+                return restored
+        except (FileNotFoundError, OSError):
+            pass
+        time.sleep(10)
+    raise RuntimeError(f"could not restore {name} from {save_dir}")
+
+
+def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
+                  batch_size: int, num_workers: int) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pose6d_tpu.configs.presets import get_preset
+    from pose6d_tpu.data.pipeline import LineMODPoseLoader
+    from pose6d_tpu.geometry.quat import quat_normalize
+    from pose6d_tpu.losses.pose_loss import geodesic_distance
+    from pose6d_tpu.ops.augment import AugmentConfig, eval_preprocess
+    from pose6d_tpu.train.loop import create_train_state, model_inputs, decompress_batch
+
+    cfg = get_preset(variant, augment=AugmentConfig(grayscale_p=0.0))
+    model, _, state = create_train_state(cfg, jax.random.key(0))
+    save_dir = os.path.join(workdir, f"weights_{variant}")
+    restored = snapshot_restore(save_dir, state, ckpt)
+    state = restored["state"]
+
+    flavor = "rgbd" if variant.startswith("rgbd") else "rgb"
+    loader = LineMODPoseLoader(
+        os.path.join(workdir, "synth", "data"), mode="val", flavor=flavor,
+        img_size=cfg.img_size, augment_bbox=False, num_workers=num_workers,
+        compact_arrays=True,
+    )
+
+    @jax.jit
+    def forward(params, batch_stats, batch):
+        batch = decompress_batch(batch)
+        rgb = eval_preprocess(batch["rgb"])
+        pred_rot, pred_trans = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            train=False, **model_inputs(cfg.variant, batch, rgb),
+        )
+        geo = geodesic_distance(pred_rot, quat_normalize(batch["quat"]))
+        return geo, pred_trans
+
+    geos, xy, z = [], [], []
+    rng = np.random.default_rng(0)
+    for i, batch in enumerate(loader.batches(batch_size, rng, shuffle=False,
+                                             drop_remainder=True)):
+        geo, pred_t = forward(state.params, state.batch_stats, batch)
+        dt = np.asarray(pred_t) - np.asarray(batch["trans"])
+        geos.append(float(geo))
+        xy.append(float(np.abs(dt[:, :2]).mean()))
+        z.append(float(np.abs(dt[:, 2]).mean()))
+        if i + 1 >= batches:
+            break
+    return {
+        "variant": variant,
+        "ckpt": ckpt,
+        "val_geodesic_deg": float(np.degrees(np.mean(geos))),
+        "val_xy_err_mm": 1000 * float(np.mean(xy)),
+        "val_z_err_mm": 1000 * float(np.mean(z)),
+    }
+
+
+MD_HEADER = """
+## Component attribution (val split, best checkpoints)
+
+Rotation is the learned pathway in every variant; translation is regressed
+(rgb/rgbd), pinhole-derived from a dedicated Z net (rgb_geometric), or
+depth-derived (rgbd_geometric). The xy column explains the rgb variant's low
+ADD-0.1d: a recentred crop contains no information about where in the image
+it was taken from, so regressed x/y carries an irreducible positional error —
+in our framework and in the reference architecture alike (its real-LineMOD
+PoseNetRGB likewise trails every other variant at 13.35%).
+
+| variant | val geodesic (deg) | val &#124;xy&#124; err (mm) | val &#124;z&#124; err (mm) |
+|---|---|---|---|
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default=os.path.join(REPO, "parity"))
+    ap.add_argument("--variants", nargs="+",
+                    default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"])
+    ap.add_argument("--ckpt", default="best", choices=["best", "last"])
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--num-workers", type=int, default=4)
+    ap.add_argument("--append-md", action="store_true",
+                    help="append the component table to PARITY_RESULTS.md")
+    args = ap.parse_args()
+
+    rows = []
+    for v in args.variants:
+        if not os.path.isdir(os.path.join(args.workdir, f"weights_{v}", args.ckpt)):
+            print(f"[probe] {v}: no {args.ckpt} checkpoint yet, skipping")
+            continue
+        r = probe_variant(v, args.workdir, args.ckpt, args.batches,
+                          args.batch_size, args.num_workers)
+        rows.append(r)
+        print(f"{v:<18} geodesic {r['val_geodesic_deg']:6.2f} deg | "
+              f"xy {r['val_xy_err_mm']:6.1f} mm | z {r['val_z_err_mm']:6.1f} mm")
+
+    if args.append_md and rows:
+        path = os.path.join(REPO, "PARITY_RESULTS.md")
+        with open(path, "a") as f:
+            f.write(MD_HEADER)
+            for r in rows:
+                f.write(f"| {r['variant']} | {r['val_geodesic_deg']:.2f} "
+                        f"| {r['val_xy_err_mm']:.1f} | {r['val_z_err_mm']:.1f} |\n")
+        print(f"appended component table to {path}")
+
+
+if __name__ == "__main__":
+    main()
