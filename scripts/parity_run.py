@@ -44,10 +44,11 @@ def summarize_variant(save_dir: str, best: float) -> dict:
     }
 
 
-def write_markdown(args, results: dict) -> None:
+def write_markdown(args, results: dict, path: str | None = None) -> None:
     """PARITY_RESULTS.md: the judge-facing evidence table."""
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "PARITY_RESULTS.md")
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "PARITY_RESULTS.md")
     lines = [
         "# Accuracy-parity evidence (synthetic fixture, real TPU chip)\n\n",
         "All four pose variants trained to saturation by `scripts/parity_run.py` "

@@ -174,9 +174,30 @@ def test_parity_run_summary_helpers(tmp_path):
     args = argparse.Namespace(objects=6, frames=700, max_angle_deg=75.0,
                               lr=5e-4, patience=15, batch_size=32,
                               early_stop_acc=97.0)
-    # write_markdown targets the repo root; patch via cwd-independent check
-    mod.write_markdown(args, {"rgb": r})
-    out = os.path.join(ROOT, "PARITY_RESULTS.md")
+    # explicit path: never touch the repo's real PARITY_RESULTS.md evidence
+    out = str(tmp_path / "PARITY_RESULTS.md")
+    mod.write_markdown(args, {"rgb": r}, path=out)
     assert os.path.exists(out)
     text = open(out).read()
     assert "| rgb | 90.00 | 2 | 3 | 20.0 | 9.0 | 0.5000 |" in text
+
+
+def test_parity_e2e_parse():
+    """parse_e2e extracts every metric from eval_e2e.py's report format."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "parity_e2e", os.path.join(ROOT, "scripts", "parity_e2e.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stdout = (
+        "split test: 420 frames\n"
+        "detection rate: 98.3%  class acc (of detected): 99.1%\n"
+        "ADD (detected): 12.3mm  ADD-S (detected): 8.1mm  "
+        "ADD-0.1d (detected): 55.00%\n"
+        "ADD-0.1d (full system, undetected = incorrect): 54.06%\n"
+    )
+    r = mod.parse_e2e(stdout)
+    assert r == {"det_rate": 98.3, "cls_acc": 99.1, "add_mm": 12.3,
+                 "add_s_mm": 8.1, "add01d_det": 55.0, "add01d_full": 54.06}
