@@ -100,11 +100,13 @@ def _z_bias_init(fill: float, index: int = 2, dim: int = 3):
 
 
 class CrossModalAttention(nn.Module):
-    """Single-token multi-head attention: Q from RGB, K/V from depth
-    (reference: models/pose_net_rgbd.py:8-35). With sequence length 1 the
-    softmax over a single key is identity, so this reduces to
-    out_proj(v_proj(depth)) plus dropout — but we keep the full form for
-    weight-level parity and future multi-token use."""
+    """Cross-modal attention, Q from RGB, K/V from depth (reference:
+    models/pose_net_rgbd.py:8-35). The reference reshapes the single feature
+    vector to [B, heads, head_dim] and computes q @ k^T over the HEAD axis —
+    an [B, H, H] attention matrix in which heads attend to each other (not
+    seq-len-1 attention, which would collapse to out_proj(v)). We reproduce
+    that exact function; forward parity is golden-tested against the
+    reference class (tests/test_posenet_torch_golden.py)."""
 
     dim: int = 2048
     num_heads: int = 8
@@ -118,10 +120,10 @@ class CrossModalAttention(nn.Module):
         q = nn.Dense(self.dim, name="q_proj")(rgb_feat).reshape(B, self.num_heads, head_dim)
         k = nn.Dense(self.dim, name="k_proj")(depth_feat).reshape(B, self.num_heads, head_dim)
         v = nn.Dense(self.dim, name="v_proj")(depth_feat).reshape(B, self.num_heads, head_dim)
-        attn = jnp.einsum("bhd,bhd->bh", q, k)[..., None] * scale  # [B, H, 1]
-        attn = jax.nn.softmax(attn, axis=-1)  # single key -> ones, kept for parity
+        attn = jnp.einsum("bhd,bgd->bhg", q, k) * scale  # [B, H, H]: head i -> head j
+        attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
-        out = (attn * v).reshape(B, self.dim)
+        out = jnp.einsum("bhg,bgd->bhd", attn, v).reshape(B, self.dim)
         return nn.Dense(self.dim, name="out_proj")(out)
 
 
