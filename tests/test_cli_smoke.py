@@ -201,3 +201,37 @@ def test_parity_e2e_parse():
     r = mod.parse_e2e(stdout)
     assert r == {"det_rate": 98.3, "cls_acc": 99.1, "add_mm": 12.3,
                  "add_s_mm": 8.1, "add01d_det": 55.0, "add01d_full": 54.06}
+
+
+def test_convert_reference_weights_round_trip(demo_workdir, tmp_path):
+    """Export the demo-trained rgbd_geometric checkpoint to a reference
+    .pth, import it back, and check the variables survive bit-exactly."""
+    import numpy as np
+    import jax
+
+    out_pth = str(tmp_path / "best_pose_model.pth")
+    _run_cli(
+        "convert_reference_weights.py",
+        ["to-torch", "--variant", "rgbd_geometric",
+         "--weights", os.path.join(demo_workdir, "weights_rgbd_geometric"),
+         "--out", out_pth],
+    )
+    assert os.path.isfile(out_pth)
+
+    dest = str(tmp_path / "imported")
+    _run_cli(
+        "convert_reference_weights.py",
+        ["to-tpu", "--variant", "rgbd_geometric", "--pth", out_pth,
+         "--dest", dest],
+    )
+
+    from pose6d_tpu.configs.presets import get_preset
+    from pose6d_tpu.train.checkpoint import load_model_variables
+
+    cfg = get_preset("rgbd_geometric", img_size=32)
+    orig = load_model_variables(
+        os.path.join(demo_workdir, "weights_rgbd_geometric"), cfg)
+    back = load_model_variables(dest, cfg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        orig, back)
