@@ -105,6 +105,14 @@ class Trainer:
     def try_resume(self) -> bool:
         restored = self.ckpt.restore(self.state)
         if restored is None:
+            # `last` can be lost to a crash mid-save (orbax writes a tmp dir
+            # then renames); fall back to `best` rather than starting fresh
+            from .checkpoint import BEST_NAME
+
+            restored = self.ckpt.restore(self.state, name=BEST_NAME)
+            if restored is not None:
+                print("`last` checkpoint unreadable; resuming from `best`")
+        if restored is None:
             return False
         self.state = restored["state"]
         if self.mesh is not None:

@@ -63,6 +63,22 @@ def test_train_two_epochs_and_resume(synth, small_cfg, tmp_path_factory):
     p_new = jax.tree.leaves(trainer2.state.params)[0]
     np.testing.assert_allclose(np.asarray(p_old), np.asarray(p_new))
 
+    # crash-resilience: with `last` destroyed mid-save (tmp-rename window),
+    # resume falls back to `best` instead of silently restarting fresh
+    import shutil
+
+    trainer.ckpt.save(trainer.state, epoch=1, best_acc=1.0, curr_acc=1.0,
+                      curr_add=50.0, scheduler_state=trainer.scheduler.state_dict(),
+                      is_best=True)
+    shutil.rmtree(os.path.join(save_dir, "last"))
+    trainer3 = Trainer(
+        small_cfg, synth["data"], synth["models"], save_dir, seed=0, num_workers=0
+    )
+    assert trainer3.try_resume()
+    assert trainer3.start_epoch == 2  # epoch 1 (from best) + 1
+    p3 = jax.tree.leaves(trainer3.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p_old))
+
 
 def test_geometric_variant_one_step(synth, tmp_path_factory):
     cfg = TrainConfig(
