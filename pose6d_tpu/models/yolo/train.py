@@ -327,6 +327,7 @@ class DetectionTrainer:
         sched = optax.warmup_cosine_decay_schedule(
             0.0, cfg.learning_rate, warmup, total, cfg.learning_rate * 0.01
         )
+        self._sched = sched
         self.tx = optax.chain(
             optax.clip_by_global_norm(10.0),
             optax.adamw(sched, weight_decay=cfg.weight_decay),
@@ -458,11 +459,14 @@ class DetectionTrainer:
                 f"step {int(self.global_step)}, best mAP {self.best_map:.4f}"
             )
         map50 = self.best_map
+        metrics_path = os.path.join(self.save_dir, "metrics.csv")
+        write_header = not os.path.exists(metrics_path)
         for epoch in range(self.completed_epochs, epochs):
             t0 = time.monotonic()
             loss = self.train_epoch(epoch, rng)
             self.completed_epochs = epoch + 1
-            if (epoch + 1) % validate_every == 0 or epoch + 1 == epochs:
+            validated = (epoch + 1) % validate_every == 0 or epoch + 1 == epochs
+            if validated:
                 map50 = self.validate_map50(rng)
                 if map50 > self.best_map:
                     self.best_map = map50
@@ -478,5 +482,16 @@ class DetectionTrainer:
                     f"({time.monotonic() - t0:.1f}s)"
                 )
             self.save_checkpoint("last")
+            # per-epoch training curve (ultralytics results.csv analogue)
+            with open(metrics_path, "a", newline="") as f:
+                if write_header:
+                    f.write("epoch,train_loss,map50,best_map50,lr,epoch_seconds\n")
+                    write_header = False
+                lr = float(self._sched(int(self.global_step)))
+                f.write(
+                    f"{epoch + 1},{loss:.6f},"
+                    f"{map50 if validated else ''},{self.best_map:.6f},"
+                    f"{lr:.8f},{time.monotonic() - t0:.2f}\n"
+                )
         print(f"mAP@50: {map50:.4f}")
         return map50

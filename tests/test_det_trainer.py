@@ -112,6 +112,11 @@ def test_full_state_resume_and_best_gating(synth, tmp_path):
     assert float(best["meta"]["best_map"]) == 0.5
     assert int(best["meta"]["epoch"]) == 1
 
+    # training curve logged (ultralytics results.csv analogue)
+    with open(os.path.join(save_dir, "metrics.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("epoch,train_loss,map50") and len(lines) == 2
+
     # fresh trainer: resume restores step/epoch/best and optimizer moments
     t2 = DetectionTrainer(synth["data"], save_dir, cfg)
     assert t2.try_resume()
