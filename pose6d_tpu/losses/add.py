@@ -187,6 +187,44 @@ def _point_mean(per_point: jax.Array, safe_ids: jax.Array, num_valid) -> jax.Arr
     return jnp.sum(jnp.where(pmask, per_point, 0.0), axis=-1) / jnp.maximum(nv, 1.0)
 
 
+def add_per_sample(
+    model_points: jax.Array,  # [n_obj, P, 3]
+    diameters: jax.Array,  # [n_obj]
+    symmetric: jax.Array,  # [n_obj] bool
+    present: jax.Array,  # [n_obj] bool
+    pred_rot_mat: jax.Array,  # [B, 3, 3]
+    pred_trans: jax.Array,  # [B, 3]
+    gt_rot_mat: jax.Array,  # [B, 3, 3]
+    gt_trans: jax.Array,  # [B, 3]
+    obj_ids: jax.Array,  # [B] int
+    num_valid: jax.Array | None = None,  # [n_obj] int, real point count
+) -> dict:
+    """Per-sample ADD / ADD-S (meters), the 0.1d correctness indicator, and
+    the validity mask — the un-aggregated form of `add_metrics`, for
+    per-object breakdowns and diagnostics. Fully jittable."""
+    obj_ids = obj_ids.astype(jnp.int32)
+    n_obj = model_points.shape[0]
+    safe_ids = jnp.clip(obj_ids, 0, n_obj - 1)
+    valid = (obj_ids >= 0) & (obj_ids < n_obj) & present[safe_ids]
+
+    pts = model_points[safe_ids]  # [B, P, 3]
+    diam = diameters[safe_ids]  # [B]
+    sym = symmetric[safe_ids]  # [B]
+
+    gt_pts = _transform_points(pts, gt_rot_mat, gt_trans)
+    pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
+
+    add = _point_mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), safe_ids, num_valid)  # [B]
+    # Padded GT points are repeats of real points, so the min over the GT
+    # axis is unaffected; only the pred-point mean needs masking.
+    add_s = _point_mean(pairwise_min_dist(pred_pts, gt_pts), safe_ids, num_valid)  # [B]
+
+    effective = jnp.where(sym, add_s, add)
+    correct = (effective < 0.1 * diam).astype(jnp.float32)
+    return {"add": add, "add_s": add_s, "effective": effective,
+            "correct": correct, "valid": valid}
+
+
 def add_metrics(
     model_points: jax.Array,  # [n_obj, P, 3]
     diameters: jax.Array,  # [n_obj]
@@ -207,25 +245,10 @@ def add_metrics(
     means cover only each object's real (non-padded) points — matching the
     reference's variable-size clouds exactly, not just in expectation.
     """
-    obj_ids = obj_ids.astype(jnp.int32)
-    n_obj = model_points.shape[0]
-    safe_ids = jnp.clip(obj_ids, 0, n_obj - 1)
-    valid = (obj_ids >= 0) & (obj_ids < n_obj) & present[safe_ids]
-
-    pts = model_points[safe_ids]  # [B, P, 3]
-    diam = diameters[safe_ids]  # [B]
-    sym = symmetric[safe_ids]  # [B]
-
-    gt_pts = _transform_points(pts, gt_rot_mat, gt_trans)
-    pred_pts = _transform_points(pts, pred_rot_mat, pred_trans)
-
-    add = _point_mean(jnp.linalg.norm(pred_pts - gt_pts, axis=-1), safe_ids, num_valid)  # [B]
-    # Padded GT points are repeats of real points, so the min over the GT
-    # axis is unaffected; only the pred-point mean needs masking.
-    add_s = _point_mean(pairwise_min_dist(pred_pts, gt_pts), safe_ids, num_valid)  # [B]
-
-    effective = jnp.where(sym, add_s, add)
-    correct = (effective < 0.1 * diam).astype(jnp.float32)
+    per = add_per_sample(model_points, diameters, symmetric, present,
+                         pred_rot_mat, pred_trans, gt_rot_mat, gt_trans,
+                         obj_ids, num_valid=num_valid)
+    add, add_s, correct, valid = per["add"], per["add_s"], per["correct"], per["valid"]
 
     count = jnp.sum(valid)
     denom = jnp.maximum(count, 1)

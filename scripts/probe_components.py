@@ -62,7 +62,8 @@ def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
 
     from pose6d_tpu.configs.presets import get_preset
     from pose6d_tpu.data.pipeline import LineMODPoseLoader
-    from pose6d_tpu.geometry.quat import quat_normalize
+    from pose6d_tpu.geometry.quat import quat_normalize, quat_to_mat
+    from pose6d_tpu.losses.add import ADDEvaluator, add_per_sample
     from pose6d_tpu.losses.pose_loss import geodesic_distance
     from pose6d_tpu.ops.augment import AugmentConfig, eval_preprocess
     from pose6d_tpu.train.loop import create_train_state, model_inputs, decompress_batch
@@ -80,6 +81,8 @@ def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
         compact_arrays=True,
     )
 
+    evaluator = ADDEvaluator(os.path.join(workdir, "synth", "models"))
+
     @jax.jit
     def forward(params, batch_stats, batch):
         batch = decompress_batch(batch)
@@ -89,25 +92,48 @@ def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
             train=False, **model_inputs(cfg.variant, batch, rgb),
         )
         geo = geodesic_distance(pred_rot, quat_normalize(batch["quat"]))
-        return geo, pred_trans
+        per = add_per_sample(
+            evaluator.points, evaluator.diameters, evaluator.symmetric,
+            evaluator.present, quat_to_mat(pred_rot), pred_trans,
+            quat_to_mat(quat_normalize(batch["quat"])), batch["trans"],
+            batch["obj_id"], num_valid=evaluator.num_valid,
+        )
+        return geo, pred_trans, per["effective"], per["correct"]
 
     geos, xy, z = [], [], []
+    obj_eff: dict = {}
+    obj_cor: dict = {}
     rng = np.random.default_rng(0)
     for i, batch in enumerate(loader.batches(batch_size, rng, shuffle=False,
                                              drop_remainder=True)):
-        geo, pred_t = forward(state.params, state.batch_stats, batch)
+        geo, pred_t, eff, cor = forward(state.params, state.batch_stats, batch)
         dt = np.asarray(pred_t) - np.asarray(batch["trans"])
         geos.append(float(geo))
         xy.append(float(np.abs(dt[:, :2]).mean()))
         z.append(float(np.abs(dt[:, 2]).mean()))
-        if i + 1 >= batches:
+        eff, cor = np.asarray(eff), np.asarray(cor)
+        for oid in np.unique(batch["obj_id"]):
+            sel = batch["obj_id"] == oid
+            obj_eff.setdefault(int(oid), []).extend(eff[sel].tolist())
+            obj_cor.setdefault(int(oid), []).extend(cor[sel].tolist())
+        if batches and i + 1 >= batches:
             break
+    diam_mm = 1000 * np.asarray(evaluator.diameters)
+    per_object = {
+        oid: {
+            "diameter_mm": float(diam_mm[oid]),
+            "add_mm": 1000 * float(np.mean(obj_eff[oid])),
+            "add01d_pct": 100 * float(np.mean(obj_cor[oid])),
+        }
+        for oid in sorted(obj_eff)
+    }
     return {
         "variant": variant,
         "ckpt": ckpt,
         "val_geodesic_deg": float(np.degrees(np.mean(geos))),
         "val_xy_err_mm": 1000 * float(np.mean(xy)),
         "val_z_err_mm": 1000 * float(np.mean(z)),
+        "per_object": per_object,
     }
 
 
@@ -133,7 +159,8 @@ def main():
     ap.add_argument("--variants", nargs="+",
                     default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"])
     ap.add_argument("--ckpt", default="best", choices=["best", "last"])
-    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batches", type=int, default=0,
+                    help="0 = the whole val split")
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--num-workers", type=int, default=4)
     ap.add_argument("--append-md", action="store_true",
@@ -150,6 +177,9 @@ def main():
         rows.append(r)
         print(f"{v:<18} geodesic {r['val_geodesic_deg']:6.2f} deg | "
               f"xy {r['val_xy_err_mm']:6.1f} mm | z {r['val_z_err_mm']:6.1f} mm")
+        for oid, o in r["per_object"].items():
+            print(f"    obj {oid + 1:02d} (d={o['diameter_mm']:.0f}mm): "
+                  f"ADD(-S) {o['add_mm']:6.1f} mm | ADD-0.1d {o['add01d_pct']:5.1f}%")
 
     if args.append_md and rows:
         path = os.path.join(REPO, "PARITY_RESULTS.md")
@@ -158,6 +188,17 @@ def main():
             for r in rows:
                 f.write(f"| {r['variant']} | {r['val_geodesic_deg']:.2f} "
                         f"| {r['val_xy_err_mm']:.1f} | {r['val_z_err_mm']:.1f} |\n")
+            f.write(
+                "\nPer-object ADD(-S) / ADD-0.1d (val split; the 0.1d "
+                "threshold scales with each object's diameter):\n\n"
+                "| variant | " + " | ".join(
+                    f"obj {oid + 1:02d} (d={o['diameter_mm']:.0f}mm)"
+                    for oid, o in rows[0]["per_object"].items()) + " |\n"
+                + "|---" * (len(rows[0]["per_object"]) + 1) + "|\n")
+            for r in rows:
+                f.write(f"| {r['variant']} | " + " | ".join(
+                    f"{o['add_mm']:.0f}mm / {o['add01d_pct']:.0f}%"
+                    for o in r["per_object"].values()) + " |\n")
         print(f"appended component table to {path}")
 
 

@@ -206,3 +206,38 @@ def test_mixed_present_absent_batch(model_dir):
     assert float(mixed["count"]) == 2
     for k in ("add_mean", "add_s_mean", "add_01d_acc"):
         np.testing.assert_allclose(float(mixed[k]), float(only_present[k]), rtol=1e-5)
+
+
+def test_add_per_sample_consistent_with_means(model_dir):
+    """add_metrics is exactly the masked mean of add_per_sample."""
+    import jax.numpy as jnp
+
+    from pose6d_tpu.geometry.quat import quat_to_mat
+    from pose6d_tpu.losses.add import ADDEvaluator, add_metrics, add_per_sample
+
+    evaluator = ADDEvaluator(model_dir)
+
+    rng = np.random.default_rng(3)
+    B = 16
+    q = rng.normal(size=(B, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q2 = rng.normal(size=(B, 4)).astype(np.float32)
+    q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+    t = rng.uniform(-0.2, 0.2, (B, 3)).astype(np.float32)
+    t2 = t + rng.normal(0, 0.01, (B, 3)).astype(np.float32)
+    ids = rng.integers(-1, 15, B).astype(np.int32)  # includes invalid -1
+
+    args = (evaluator.points, evaluator.diameters, evaluator.symmetric,
+            evaluator.present, quat_to_mat(jnp.asarray(q)), jnp.asarray(t),
+            quat_to_mat(jnp.asarray(q2)), jnp.asarray(t2), jnp.asarray(ids))
+    m = add_metrics(*args, num_valid=evaluator.num_valid)
+    per = add_per_sample(*args, num_valid=evaluator.num_valid)
+
+    v = np.asarray(per["valid"], dtype=np.float32)
+    denom = max(v.sum(), 1.0)
+    np.testing.assert_allclose(
+        float(m["add_mean"]), 1000 * float((np.asarray(per["add"]) * v).sum() / denom),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m["add_01d_acc"]), 100 * float((np.asarray(per["correct"]) * v).sum() / denom),
+        rtol=1e-5)
