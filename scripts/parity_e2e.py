@@ -67,6 +67,9 @@ def main():
                     default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"])
     ap.add_argument("--skip-detector", action="store_true",
                     help="reuse an already-trained detector in <workdir>/yolo")
+    ap.add_argument("--md-only", action="store_true",
+                    help="re-append the markdown table from the saved "
+                         "e2e_results.json without running anything")
     args = ap.parse_args()
 
     data_root = os.path.join(args.workdir, "synth", "data")
@@ -74,13 +77,23 @@ def main():
     yolo_dir = os.path.join(args.workdir, "yolo")
     log_path = os.path.join(args.workdir, "e2e_run.log")
 
+    if args.md_only:
+        with open(os.path.join(args.workdir, "e2e_results.json")) as f:
+            results = json.load(f)
+        write_markdown(args, results)
+        return
+
     if not args.skip_detector:
         run([sys.executable, os.path.join(SCRIPTS, "train_yolo.py"),
              "--data-root", data_root, "--save-dir", yolo_dir,
              "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
              "--img-size", str(args.img_size)], log_path)
 
+    out_json = os.path.join(args.workdir, "e2e_results.json")
     results = {}
+    if os.path.exists(out_json):  # merge across incremental invocations
+        with open(out_json) as f:
+            results = json.load(f)
     for variant in args.variants:
         pose_dir = os.path.join(args.workdir, f"weights_{variant}")
         if not os.path.isdir(os.path.join(pose_dir, "best")):
@@ -93,10 +106,13 @@ def main():
                      log_path)
         results[variant] = parse_e2e(stdout)
 
-    out_json = os.path.join(args.workdir, "e2e_results.json")
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
+    write_markdown(args, results)
+    print(f"wrote {out_json} and appended table to PARITY_RESULTS.md")
 
+
+def write_markdown(args, results: dict) -> None:
     md = os.path.join(REPO, "PARITY_RESULTS.md")
     with open(md, "a") as f:
         f.write(
@@ -116,7 +132,6 @@ def main():
                     f"| {r.get('add_s_mm', float('nan')):.1f} "
                     f"| {r.get('add01d_det', float('nan')):.2f} "
                     f"| {r.get('add01d_full', float('nan')):.2f} |\n")
-    print(f"wrote {out_json} and appended table to {md}")
 
 
 if __name__ == "__main__":
