@@ -192,7 +192,10 @@ class Trainer:
             "epoch", "train_loss", "val_add", "val_add_s", "val_acc", "lr",
             "steps_per_sec", "imgs_per_sec",
         ]
-        write_header = not os.path.exists(self._metrics_path)
+        # header if absent OR zero-length (a kill before the first flush can
+        # leave an empty file; appending data rows to it would lose the header)
+        write_header = (not os.path.exists(self._metrics_path)
+                        or os.path.getsize(self._metrics_path) == 0)
         with open(self._metrics_path, "a", newline="") as fcsv:
             writer = csv.DictWriter(fcsv, fieldnames=log_fields, extrasaction="ignore")
             if write_header:

@@ -44,11 +44,32 @@ def main():
             continue
         import csv as _csv
 
+        fields = ["epoch", "train_loss", "val_add", "val_add_s", "val_acc",
+                  "lr", "steps_per_sec", "imgs_per_sec"]
         best = 0.0
         with open(csv_path) as f:
-            for row in _csv.DictReader(f):
+            first = f.readline()
+            headerless = not first.startswith("epoch,")
+            f.seek(0)
+            reader = (_csv.DictReader(f, fieldnames=fields) if headerless
+                      else _csv.DictReader(f))
+            for row in reader:
                 best = max(best, float(row["val_acc"]))
-        results[variant] = mod.summarize_variant(save_dir, best)
+        if headerless:  # repair for summarize_variant, which expects a header
+            with open(csv_path) as f:
+                body = f.read()
+            with open(csv_path + ".headered", "w") as f:
+                f.write(",".join(fields) + "\n" + body)
+            csv_src = save_dir  # summarize_variant reads save_dir/metrics.csv
+            import shutil as _sh
+            import tempfile
+
+            tmpd = tempfile.mkdtemp()
+            _sh.copy(csv_path + ".headered", os.path.join(tmpd, "metrics.csv"))
+            results[variant] = mod.summarize_variant(tmpd, best)
+            os.remove(csv_path + ".headered")
+        else:
+            results[variant] = mod.summarize_variant(save_dir, best)
 
     with open(os.path.join(args.workdir, "results.json"), "w") as f:
         json.dump(results, f, indent=2)
