@@ -68,8 +68,11 @@ mAP detector.
 
 **Rotation-head capacity is the live axis.** Both geometric variants use
 the reference's smaller 1024/512 rotation head and their backbones receive
-no translation gradients; on this from-scratch recipe they plateau around
-~13 deg train geodesic, which keeps rgbd_geometric at
+no translation gradients; on this from-scratch recipe they plateau at
+~18.8 deg val geodesic (so does rgbd with its fused GELU heads — three
+different architectures within 0.05 deg of each other, while rgb descends
+steadily to 2.46 deg; re-estimating BatchNorm statistics changes nothing,
+so this is an optimization plateau, not an eval artifact), which keeps rgbd_geometric at
 {v('rgbd_geometric', 'best_add01d')}% val (translation near-exact from
 depth, ADD almost purely rotational) and explains rgb_geometric's deployed
 {e('rgb_geometric', 'add01d_full')}%. The reference's published numbers
