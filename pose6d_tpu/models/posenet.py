@@ -39,6 +39,12 @@ class PoseNetConfig:
     # MXU-friendlier; see models/resnet.py). Weight-convertible from
     # torchvision via convert.s2d_conv1_weights.
     stem_s2d: bool = False
+    # ABLATION (not in the reference): swap the geometric variants'
+    # 1024/512 rotation head for the rgb variant's 2048/1024/512 one.
+    # Motivated by the parity-run finding that the narrow-head variants
+    # plateau at ~18.8 deg val geodesic while rgb reaches 2.46 deg
+    # (PARITY_RESULTS.md "Reading the tables").
+    rot_head_wide: bool = False
     # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
     depth_invalid_thresh: float = 0.01
     depth_fallback: float = 0.5
@@ -185,9 +191,14 @@ class PoseNet(nn.Module):
 
         elif v == "rgb_geometric":
             feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="backbone")(rgb, train=train)
+            rot_widths, rot_norms, rot_drops = (
+                ((2048, 1024, 512), ("batch", "batch", "none"), (0.3, 0.2, 0.0))
+                if cfg.rot_head_wide
+                else ((1024, 512), ("batch", "batch"), (0.3, 0.2))
+            )
             rot = _mlp_head(
-                feat, (1024, 512), 4,
-                norms=("batch", "batch"), dropouts=(0.3, 0.2),
+                feat, rot_widths, 4,
+                norms=rot_norms, dropouts=rot_drops,
                 act=relu, train=train, name_prefix="rot_",
             )
             z_feat = ZBackbone(name="z_backbone")(rgb, train=train)
@@ -236,9 +247,14 @@ class PoseNet(nn.Module):
 
         elif v == "rgbd_geometric":
             feat = ResNet50(dtype=cfg.dtype, stem_space_to_depth=cfg.stem_s2d, name="backbone")(rgb, train=train)
+            rot_widths, rot_norms, rot_drops = (
+                ((2048, 1024, 512), ("batch", "batch", "none"), (0.3, 0.2, 0.0))
+                if cfg.rot_head_wide
+                else ((1024, 512), ("batch", "batch"), (0.3, 0.2))
+            )
             rot = _mlp_head(
-                feat, (1024, 512), 4,
-                norms=("batch", "batch"), dropouts=(0.3, 0.2),
+                feat, rot_widths, 4,
+                norms=rot_norms, dropouts=rot_drops,
                 act=relu, train=train, name_prefix="rot_",
             )
             if depth_raw is not None and bbox_center is not None and camera_matrix is not None:

@@ -45,6 +45,8 @@ class TrainConfig:
     min_lr: float = 0.0
     # augmentation; grayscale_p > 0 only for the rgb variant (train_rgb.py:46)
     augment: AugmentConfig = AugmentConfig()
+    # ablation: wide rotation head for the geometric variants (posenet.py)
+    rot_head_wide: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -114,7 +116,8 @@ def create_train_state(
     `pretrained_backbone` optionally points at a torchvision resnet50
     state_dict (.pth); backbones are then initialized from it (incl. the
     RGBD depth-branch summed-conv1 init)."""
-    model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size))
+    model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size,
+                                       rot_head_wide=cfg.rot_head_wide))
     S = cfg.img_size
     dummy = {
         "rgb": jnp.zeros((2, S, S, 3)),

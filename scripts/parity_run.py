@@ -107,6 +107,10 @@ def main():
         default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
     )
     ap.add_argument("--seed", type=int, default=0)
+    # ablation: rgb-style 2048/1024/512 rotation head for the geometric
+    # variants (see PARITY_RESULTS.md "Reading the tables"); results and
+    # weights are suffixed so the reference-faithful runs are untouched
+    ap.add_argument("--rot-head-wide", action="store_true")
     args = ap.parse_args()
 
     from pose6d_tpu.configs.presets import get_preset
@@ -133,10 +137,12 @@ def main():
         with open(results_path) as f:
             results = json.load(f)
     for variant in args.variants:
-        save_dir = os.path.join(args.workdir, f"weights_{variant}")
+        name = variant + ("_widehead" if args.rot_head_wide else "")
+        save_dir = os.path.join(args.workdir, f"weights_{name}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
                          learning_rate=args.lr, plateau_patience=args.patience,
-                         augment=AugmentConfig(grayscale_p=0.0))
+                         augment=AugmentConfig(grayscale_p=0.0),
+                         rot_head_wide=args.rot_head_wide)
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
         trainer = Trainer(
@@ -145,7 +151,7 @@ def main():
             cache_decoded=True,  # ~4 GB RAM; PNG decode dominates host time
         )
         best = trainer.fit(epochs=args.epochs, early_stop_acc=args.early_stop_acc)
-        results[variant] = summarize_variant(save_dir, best)
+        results[name] = summarize_variant(save_dir, best)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)
         write_markdown(args, results)

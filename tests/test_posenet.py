@@ -132,3 +132,22 @@ def test_resnet50_param_count():
     variables = m.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)))
     n = sum(np.prod(p.shape) for p in jax.tree.leaves(variables["params"]))
     assert 23.4e6 < n < 23.6e6, n
+
+
+def test_rot_head_wide_ablation_structure():
+    """rot_head_wide swaps the geometric rotation head to the rgb-style
+    2048/1024/512 stack (ablation for the narrow-head rotation plateau,
+    PARITY_RESULTS.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
+
+    m = PoseNet(PoseNetConfig(variant="rgbd_geometric", img_size=32,
+                              rot_head_wide=True))
+    v = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    p = v["params"]
+    assert p["rot_dense0"]["kernel"].shape == (2048, 2048)
+    assert p["rot_dense1"]["kernel"].shape == (2048, 1024)
+    assert p["rot_dense2"]["kernel"].shape == (1024, 512)
+    assert p["rot_out"]["kernel"].shape == (512, 4)
