@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--conf-thresh", type=float, default=0.25)
     ap.add_argument("--img-size", type=int, default=224)
+    ap.add_argument("--rot-head-wide", action="store_true",
+                    help="evaluate a weights dir trained with the wide-rot-head ablation")
     args = ap.parse_args()
 
     import cv2
@@ -61,7 +63,8 @@ def main():
     yvars = load_yolo_variables(args.yolo_weights, ycfg)
     if yvars is None:
         sys.exit(f"no detector checkpoint in {args.yolo_weights}")
-    pcfg = get_preset(args.variant, img_size=args.img_size)
+    pcfg = get_preset(args.variant, img_size=args.img_size,
+                      rot_head_wide=args.rot_head_wide)
     pvars = load_model_variables(args.pose_weights, pcfg)
     if pvars is None:
         sys.exit(f"no pose checkpoint in {args.pose_weights}")
@@ -70,7 +73,8 @@ def main():
         PipelineConfig(variant=args.variant, img_size=args.img_size,
                        conf_thresh=args.conf_thresh, compute_dtype=jnp.float32),
         ycfg, yvars, pvars,
-        PoseNetConfig(variant=args.variant, img_size=args.img_size),
+        PoseNetConfig(variant=args.variant, img_size=args.img_size,
+                      rot_head_wide=args.rot_head_wide),
     )
     evaluator = ADDEvaluator(args.mesh_dir)
 
