@@ -165,9 +165,10 @@ def bench_e2e(batch_size=128, chain=200, variant="rgb"):
     dt = tn - t1
     print(f"[bench] {variant}: t(N=1)={t1:.3f}s t(N={1 + chain})={tn:.3f}s",
           file=sys.stderr)
-    # sanity: 100 chained batch-64 iterations cannot take < 50 ms of device
-    # time; if the difference is smaller, the runtime is not timing honestly
-    # (observed on tunneled backends) -> fall back to per-stage sums
+    # sanity: `chain` full-pipeline iterations cannot take < 50 ms of device
+    # time at any batch size; if the difference is smaller, the runtime is
+    # not timing honestly (observed on tunneled backends) -> fall back to
+    # per-stage sums
     if dt > 0.05:
         return batch_size * chain / dt, "chained_difference"
     per_iter = _sum_of_parts(pipe, frames, K)

@@ -29,6 +29,7 @@ class BottleneckBlock(nn.Module):
     strides: int = 1
     conv: ModuleDef = nn.Conv
     norm: ModuleDef = nn.BatchNorm
+    zero_init_residual: bool = True  # see ResNet.zero_init_residual
 
     @nn.compact
     def __call__(self, x):
@@ -46,7 +47,11 @@ class BottleneckBlock(nn.Module):
         y = self.norm(name="bn2")(y)
         y = nn.relu(y)
         y = self.conv(self.features * 4, (1, 1), name="conv3")(y)
-        y = self.norm(name="bn3", scale_init=nn.initializers.zeros)(y)
+        y = self.norm(
+            name="bn3",
+            scale_init=(nn.initializers.zeros if self.zero_init_residual
+                        else nn.initializers.ones),
+        )(y)
 
         if residual.shape != y.shape:
             residual = self.conv(
@@ -75,6 +80,14 @@ class ResNet(nn.Module):
     # classic MLPerf TPU ResNet trick. Weight-convertible both ways
     # (convert.py: s2d_conv1_weights).
     stem_space_to_depth: bool = False
+    # FROM-SCRATCH INIT DEVIATION (documented): zero-init the last BN gamma
+    # of each bottleneck so residual blocks start as identity — a standard
+    # training nicety ("Bag of Tricks", He et al.). torchvision's default is
+    # zero_init_residual=False (gamma=1); the difference only matters for
+    # from-scratch runs (converted pretrained weights overwrite gamma), where
+    # it mildly improves early dynamics. Set False for exact torchvision
+    # from-scratch init parity.
+    zero_init_residual: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -113,6 +126,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     conv=conv,
                     norm=norm,
+                    zero_init_residual=self.zero_init_residual,
                     name=f"layer{i + 1}_{j}",
                 )(x)
 

@@ -426,23 +426,36 @@ class DetectionTrainer:
         return float(np.mean(np.asarray(jnp.stack(losses_dev))))
 
     def validate_map50(self, rng: np.random.Generator) -> float:
-        preds, gts = [], []
+        # accumulate detections ON DEVICE across the whole split, then fetch
+        # once — the same one-host-sync-per-epoch discipline as train_epoch
+        # (a per-batch np.asarray pays a full tunnel RTT per batch)
+        dev_outs, host_gts = [], []
         for batch in self.val_loader.batches(
             self.cfg.batch_size, rng, shuffle=False, drop_remainder=False
         ):
-            out = self._infer(self.ema_params, self.batch_stats, jnp.asarray(batch["image"]))
-            out = {k: np.asarray(v) for k, v in out.items()}
+            dev_outs.append(
+                self._infer(self.ema_params, self.batch_stats, jnp.asarray(batch["image"]))
+            )
+            host_gts.append(batch)
+        if not dev_outs:
+            return 0.0
+        out = jax.device_get(
+            {k: jnp.concatenate([o[k] for o in dev_outs], axis=0) for k in dev_outs[0]}
+        )
+        preds, gts = [], []
+        row = 0
+        for batch in host_gts:
             for i in range(len(batch["valid"])):
-                if not batch["valid"][i]:
-                    continue
-                preds.append({k: out[k][i] for k in out})
-                gts.append(
-                    {
-                        "boxes": batch["gt_boxes"][i],
-                        "labels": batch["gt_labels"][i],
-                        "mask": batch["gt_mask"][i],
-                    }
-                )
+                if batch["valid"][i]:
+                    preds.append({k: out[k][row + i] for k in out})
+                    gts.append(
+                        {
+                            "boxes": batch["gt_boxes"][i],
+                            "labels": batch["gt_labels"][i],
+                            "mask": batch["gt_mask"][i],
+                        }
+                    )
+            row += len(batch["valid"])
         return evaluate_map50(preds, gts, self.ycfg.num_classes)
 
     def fit(self, epochs: Optional[int] = None, validate_every: int = 1) -> float:
@@ -460,7 +473,10 @@ class DetectionTrainer:
             )
         map50 = self.best_map
         metrics_path = os.path.join(self.save_dir, "metrics.csv")
-        write_header = not os.path.exists(metrics_path)
+        # header if absent OR zero-length: a kill before the first flush can
+        # leave an empty file, and appending data rows to it loses the header
+        write_header = (not os.path.exists(metrics_path)
+                        or os.path.getsize(metrics_path) == 0)
         for epoch in range(self.completed_epochs, epochs):
             t0 = time.monotonic()
             loss = self.train_epoch(epoch, rng)

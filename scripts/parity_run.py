@@ -35,12 +35,14 @@ def summarize_variant(save_dir: str, best: float) -> dict:
     first_hit = next((r for r in rows if r["val_acc"] >= 0.5 * best), None)
     return {
         "best_add01d": best,
-        "best_epoch": int(best_row["epoch"]),
+        # metrics.csv stores 0-based epochs; report 1-based to match the
+        # console log's "Epoch {epoch+1}" lines
+        "best_epoch": int(best_row["epoch"]) + 1,
         "epochs_run": len(rows),
         "val_add_mm_at_best": best_row["val_add"],
         "val_add_s_mm_at_best": best_row["val_add_s"],
         "final_train_loss": rows[-1]["train_loss"],
-        "epoch_half_best": int(first_hit["epoch"]) if first_hit else None,
+        "epoch_half_best": int(first_hit["epoch"]) + 1 if first_hit else None,
     }
 
 

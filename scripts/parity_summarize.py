@@ -36,9 +36,18 @@ def main():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
+    # merge into the existing results.json (parity_run.py semantics): never
+    # drop entries whose weights dir is gone, and pick up EVERY weights_*
+    # dir on disk — including the *_widehead ablation runs
+    results_path = os.path.join(args.workdir, "results.json")
     results = {}
-    for variant in ["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"]:
-        save_dir = os.path.join(args.workdir, f"weights_{variant}")
+    if os.path.exists(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+    import glob
+
+    for save_dir in sorted(glob.glob(os.path.join(args.workdir, "weights_*"))):
+        variant = os.path.basename(save_dir)[len("weights_"):]
         csv_path = os.path.join(save_dir, "metrics.csv")
         if not os.path.exists(csv_path):
             continue
@@ -58,20 +67,20 @@ def main():
         if headerless:  # repair for summarize_variant, which expects a header
             with open(csv_path) as f:
                 body = f.read()
-            with open(csv_path + ".headered", "w") as f:
-                f.write(",".join(fields) + "\n" + body)
-            csv_src = save_dir  # summarize_variant reads save_dir/metrics.csv
             import shutil as _sh
             import tempfile
 
             tmpd = tempfile.mkdtemp()
-            _sh.copy(csv_path + ".headered", os.path.join(tmpd, "metrics.csv"))
-            results[variant] = mod.summarize_variant(tmpd, best)
-            os.remove(csv_path + ".headered")
+            try:
+                with open(os.path.join(tmpd, "metrics.csv"), "w") as f:
+                    f.write(",".join(fields) + "\n" + body)
+                results[variant] = mod.summarize_variant(tmpd, best)
+            finally:
+                _sh.rmtree(tmpd, ignore_errors=True)
         else:
             results[variant] = mod.summarize_variant(save_dir, best)
 
-    with open(os.path.join(args.workdir, "results.json"), "w") as f:
+    with open(results_path, "w") as f:
         json.dump(results, f, indent=2)
     mod.write_markdown(args, results)
     for v, r in results.items():

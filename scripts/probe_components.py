@@ -109,7 +109,8 @@ def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
         geo, pred_t, eff, cor = forward(state.params, state.batch_stats, batch)
         dt = np.asarray(pred_t) - np.asarray(batch["trans"])
         geos.append(float(geo))
-        xy.append(float(np.abs(dt[:, :2]).mean()))
+        # Euclidean planar error ||(dx, dy)||, matching the |xy| column label
+        xy.append(float(np.linalg.norm(dt[:, :2], axis=1).mean()))
         z.append(float(np.abs(dt[:, 2]).mean()))
         eff, cor = np.asarray(eff), np.asarray(cor)
         for oid in np.unique(batch["obj_id"]):

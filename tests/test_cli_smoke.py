@@ -168,8 +168,9 @@ def test_parity_run_summary_helpers(tmp_path):
     (save / "metrics.csv").write_text("\n".join(rows) + "\n")
 
     r = mod.summarize_variant(str(save), 90.0)
-    assert r["best_epoch"] == 2 and r["epochs_run"] == 3
-    assert r["val_add_mm_at_best"] == 20.0 and r["epoch_half_best"] == 2
+    # metrics.csv epochs are 0-based; reports are 1-based (console-log parity)
+    assert r["best_epoch"] == 3 and r["epochs_run"] == 3
+    assert r["val_add_mm_at_best"] == 20.0 and r["epoch_half_best"] == 3
 
     args = argparse.Namespace(objects=6, frames=700, max_angle_deg=75.0,
                               lr=5e-4, patience=15, batch_size=32,
@@ -179,7 +180,7 @@ def test_parity_run_summary_helpers(tmp_path):
     mod.write_markdown(args, {"rgb": r}, path=out)
     assert os.path.exists(out)
     text = open(out).read()
-    assert "| rgb | 90.00 | 2 | 3 | 20.0 | 9.0 | 0.5000 |" in text
+    assert "| rgb | 90.00 | 3 | 3 | 20.0 | 9.0 | 0.5000 |" in text
 
 
 def test_parity_e2e_parse():
