@@ -45,8 +45,10 @@ class TrainConfig:
     min_lr: float = 0.0
     # augmentation; grayscale_p > 0 only for the rgb variant (train_rgb.py:46)
     augment: AugmentConfig = AugmentConfig()
-    # ablation: wide rotation head for the geometric variants (posenet.py)
+    # ablations (see PoseNetConfig): wide rotation head (geometric + rgbd
+    # variants) and the rgbd no-attention concat-fusion probe
     rot_head_wide: bool = False
+    fusion_attention: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -84,6 +86,35 @@ def decompress_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     return batch
 
 
+def expand_device_batch(
+    frames_u8: jax.Array,  # [N, H, W, 3] uint8, device-resident split
+    depth_u16: Optional[jax.Array],  # [N, H, W] uint16 or None
+    batch: Dict[str, jax.Array],  # meta batch (DeviceFrameStore.batches)
+    img_size: int,
+) -> Dict[str, jax.Array]:
+    """On-device half of the preprocessing contract: gather the batch's
+    frames from the resident split and run crop+resize as MXU matmuls
+    (SURVEY §7 step 9's on-device stage). Produces the same batch fields as
+    LineMODPoseLoader (rgb in [0,1] f32, depth normalized, depth_raw meters);
+    equality with the cv2 host path is ~1/255 (tests/test_device_pipeline.py),
+    exact for all label/bookkeeping fields."""
+    from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
+    from ..ops.crop_resize import crop_resize_matmul
+
+    idx = batch["idx"]
+    x1, y1, size = batch["x1"], batch["y1"], batch["size"]
+    out = dict(batch)
+    src = jnp.take(frames_u8, idx, axis=0).astype(jnp.float32)
+    out["rgb"] = crop_resize_matmul(src, x1, y1, size, img_size) / 255.0
+    if depth_u16 is not None:
+        dsrc = jnp.take(depth_u16, idx, axis=0).astype(jnp.float32)[..., None]
+        raw = crop_resize_matmul(dsrc, x1, y1, size, img_size)[..., 0] / 1000.0
+        out["depth_raw"] = raw
+        d = jnp.clip((raw - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M), 0.0, 1.0)
+        out["depth"] = jnp.where(raw < DEPTH_INVALID_M, 0.0, d)[..., None]
+    return out
+
+
 def model_inputs(variant: str, batch: Dict[str, jax.Array], rgb: jax.Array) -> dict:
     """Wire the per-variant forward signature from the superset batch.
 
@@ -117,7 +148,8 @@ def create_train_state(
     state_dict (.pth); backbones are then initialized from it (incl. the
     RGBD depth-branch summed-conv1 init)."""
     model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size,
-                                       rot_head_wide=cfg.rot_head_wide))
+                                       rot_head_wide=cfg.rot_head_wide,
+                                       fusion_attention=cfg.fusion_attention))
     S = cfg.img_size
     dummy = {
         "rgb": jnp.zeros((2, S, S, 3)),
@@ -144,11 +176,12 @@ def create_train_state(
     return model, tx, state
 
 
-def make_train_step(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
-    """Build the jitted train step: (state, batch, key) -> (state, metrics)."""
+def _make_core(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
+    """The un-jitted train-step body: augment, forward, loss, backward,
+    clip, AdamW, BN-stat update. Shared by the per-step and whole-epoch
+    (lax.scan) drivers."""
 
-    def step(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
-        batch = decompress_batch(batch)
+    def core(state: TrainState, batch: Dict[str, jax.Array], key: jax.Array):
         k_aug, k_drop = jax.random.split(key)
         rgb = train_augment(k_aug, batch["rgb"], cfg.augment)
 
@@ -176,7 +209,61 @@ def make_train_step(model: PoseNet, tx: optax.GradientTransformation, cfg: Train
         )
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
+    return core
+
+
+def make_train_step(
+    model: PoseNet,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    device_preprocess: bool = False,
+) -> Callable:
+    """Build the jitted train step: (state, batch, key) -> (state, metrics).
+
+    With device_preprocess=True the signature becomes
+    (state, frames_u8, depth_u16, batch, key): `batch` is a metadata-only
+    batch (DeviceFrameStore) and crop+resize runs inside this jit on the
+    device-resident frames."""
+    core = _make_core(model, tx, cfg)
+
+    if device_preprocess:
+
+        def step_dev(state, frames_u8, depth_u16, batch, key):
+            return core(
+                state, expand_device_batch(frames_u8, depth_u16, batch, cfg.img_size), key
+            )
+
+        return jax.jit(step_dev, donate_argnums=0)
+
+    def step(state, batch, key):
+        return core(state, decompress_batch(batch), key)
+
     return jax.jit(step, donate_argnums=0)
+
+
+def make_train_epoch(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
+    """Whole-epoch train function: ONE dispatch per epoch.
+
+    Measured on the tunneled v5e chip, per-step dispatch costs ~0.35 s
+    regardless of payload — 105 steps/epoch = 37 s of pure round-trip while
+    the device idles (PERF.md). With the split device-resident
+    (DeviceFrameStore) the per-step host contribution is a few hundred bytes
+    of crop scalars, so the entire epoch rolls into a single jitted
+    lax.scan: (state, frames, depth, meta_scan, keys) -> (state, losses),
+    where meta_scan leaves are stacked [n_steps, B, ...]. Dispatch overhead
+    amortizes across the epoch instead of every step."""
+    core = _make_core(model, tx, cfg)
+
+    def epoch_fn(state, frames_u8, depth_u16, meta_scan, keys):
+        def body(state, xs):
+            meta, key = xs
+            batch = expand_device_batch(frames_u8, depth_u16, meta, cfg.img_size)
+            new_state, metrics = core(state, batch, key)
+            return new_state, metrics["loss"]
+
+        return jax.lax.scan(body, state, (meta_scan, keys))
+
+    return jax.jit(epoch_fn, donate_argnums=0)
 
 
 def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:

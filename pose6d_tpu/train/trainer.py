@@ -43,6 +43,7 @@ class Trainer:
         pretrained_backbone: Optional[str] = None,
         cache_decoded: bool = False,
         mesh=None,
+        device_preprocess: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh (data, model). When given, the
         train/eval state is dp-replicated / tp-sharded (parallel.shard_state)
@@ -72,6 +73,28 @@ class Trainer:
             compact_arrays=True,
         )
 
+        # device-resident training frames (SURVEY §7 step 9): decode the
+        # train split once, keep it in HBM, crop on the MXU inside the train
+        # step. Validation keeps the host (cv2) path so val metrics stay
+        # bit-comparable with the golden preprocessing contract.
+        self.device_preprocess = device_preprocess
+        self.frame_store = None
+        if device_preprocess:
+            from ..data.device_pipeline import DeviceFrameStore
+
+            sharding = None
+            if mesh is not None:
+                # frames replicated across the mesh; each device gathers its
+                # metadata-batch rows locally (no per-step collectives)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sharding = NamedSharding(mesh, PartitionSpec())
+            self.frame_store = DeviceFrameStore(self.train_loader, device=sharding)
+            print(
+                f"device_preprocess: {len(self.frame_store)} frames resident "
+                f"({self.frame_store.nbytes() / 1e9:.2f} GB HBM)"
+            )
+
         self.evaluator = ADDEvaluator(mesh_dir)
         self.model, self.tx, self.state = create_train_state(
             cfg, jax.random.key(seed), pretrained_backbone=pretrained_backbone
@@ -80,7 +103,16 @@ class Trainer:
             from ..parallel import shard_state
 
             self.state = shard_state(self.state, mesh)
-        self.train_step = make_train_step(self.model, self.tx, cfg)
+        if device_preprocess:
+            from .loop import make_train_epoch
+
+            # ONE dispatch per epoch (lax.scan over the stacked metadata):
+            # per-step dispatch RTT over tunneled backends is the real wall
+            self.train_step = None
+            self.train_epoch_fn = make_train_epoch(self.model, self.tx, cfg)
+        else:
+            self.train_step = make_train_step(self.model, self.tx, cfg)
+            self.train_epoch_fn = None
         self.eval_step = make_eval_step(self.model, cfg, self.evaluator)
 
         self.scheduler = ReduceLROnPlateau(
@@ -137,20 +169,51 @@ class Trainer:
 
         return shard_batch(batch, self.mesh)
 
+    def _put_epoch_meta(self, meta):
+        """Stacked epoch metadata [n_steps, B, ...]: under a mesh the BATCH
+        axis (dim 1) shards over 'data'; the scan axis stays unsharded."""
+        if self.mesh is None:
+            return meta
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        def put(x):
+            spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+            return _jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return {k: put(v) for k, v in meta.items()}
+
     def train_epoch(self, epoch: int, rng: np.random.Generator) -> dict:
         cfg = self.cfg
         losses = []
         t0 = time.monotonic()
         key = jax.random.key(self.seed * 100003 + epoch)
-        for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
-            key, sub = jax.random.split(key)
-            self.state, metrics = self.train_step(self.state, self._put_batch(batch), sub)
-            losses.append(metrics["loss"])  # device array; fetched once below
+        if self.frame_store is not None:
+            fs = self.frame_store
+            meta, n_steps = fs.epoch_meta(cfg.batch_size, rng, shuffle=True)
+            if n_steps:
+                keys = jax.random.split(key, n_steps)
+                self.state, loss_arr = self.train_epoch_fn(
+                    self.state, fs.rgb_frames, fs.depth_frames,
+                    self._put_epoch_meta(meta), keys,
+                )
+                losses.append(loss_arr)  # [n_steps]; fetched once below
+        else:
+            for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
+                key, sub = jax.random.split(key)
+                self.state, metrics = self.train_step(self.state, self._put_batch(batch), sub)
+                losses.append(metrics["loss"])  # device array; fetched once below
         # ONE host fetch per epoch: per-step .item() syncs pay a full RTT on
         # tunneled backends; the fetch also forces execution of the whole
         # epoch's dispatch chain (lazy remote backends)
-        loss_sum = float(np.sum(np.asarray(jax.numpy.stack(losses)))) if losses else 0.0
-        n_batches = len(losses)
+        if losses:
+            flat = np.concatenate([np.atleast_1d(np.asarray(l)) for l in losses])
+            loss_sum = float(np.sum(flat))
+            n_batches = len(flat)
+        else:
+            loss_sum, n_batches = 0.0, 0
         dt = time.monotonic() - t0
         steps_per_sec = n_batches / dt if dt > 0 else 0.0
         return {
