@@ -39,12 +39,19 @@ class PoseNetConfig:
     # MXU-friendlier; see models/resnet.py). Weight-convertible from
     # torchvision via convert.s2d_conv1_weights.
     stem_s2d: bool = False
-    # ABLATION (not in the reference): swap the geometric variants'
-    # 1024/512 rotation head for the rgb variant's 2048/1024/512 one.
+    # ABLATION (not in the reference): swap the narrow rotation heads for
+    # the rgb variant's 2048/1024/512 BN stack. For the geometric variants
+    # this replaces their 1024/512 head; for rgbd it replaces the fused
+    # GELU 512/256 head (reference models/pose_net_rgbd.py:84-103).
     # Motivated by the parity-run finding that the narrow-head variants
     # plateau at ~18.8 deg val geodesic while rgb reaches 2.46 deg
     # (PARITY_RESULTS.md "Reading the tables").
     rot_head_wide: bool = False
+    # ABLATION (rgbd only): False bypasses CrossModalAttention — fusion
+    # becomes a plain LayerNorm'd concat. Probe for whether the residual
+    # attention path starves rotation gradients (round-2 finding: rgbd is
+    # the worst fixture learner at 4.46% val ADD-0.1d).
+    fusion_attention: bool = True
     # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
     depth_invalid_thresh: float = 0.01
     depth_fallback: float = 0.5
@@ -224,9 +231,12 @@ class PoseNet(nn.Module):
             )
             rgb_feat = nn.LayerNorm(name="rgb_norm")(rgb_feat)
             depth_feat = nn.LayerNorm(name="depth_norm")(depth_feat)
-            rgb_enh = rgb_feat + CrossModalAttention(name="cross_attention")(
-                rgb_feat, depth_feat, train=train
-            )
+            if cfg.fusion_attention:
+                rgb_enh = rgb_feat + CrossModalAttention(name="cross_attention")(
+                    rgb_feat, depth_feat, train=train
+                )
+            else:  # ablation: plain concat fusion, no attention residual
+                rgb_enh = rgb_feat
             combined = jnp.concatenate([rgb_enh, depth_feat], axis=-1)  # [B, 4096]
             fused = nn.Dense(1024, kernel_init=xavier, name="fusion_dense0")(combined)
             fused = nn.gelu(nn.LayerNorm(name="fusion_norm0")(fused))
@@ -242,7 +252,14 @@ class PoseNet(nn.Module):
                 return nn.Dense(out_dim, kernel_init=xavier, bias_init=out_bias_init,
                                 name=f"{prefix}out")(x)
 
-            rot = head(fused, 4, "rot_")
+            if cfg.rot_head_wide:  # ablation: rgb-style wide BN rot head
+                rot = _mlp_head(
+                    fused, (2048, 1024, 512), 4,
+                    norms=("batch", "batch", "none"), dropouts=(0.3, 0.2, 0.0),
+                    act=relu, train=train, name_prefix="rot_",
+                )
+            else:
+                rot = head(fused, 4, "rot_")
             trans = head(fused, 3, "trans_", out_bias_init=_z_bias_init(0.5))
 
         elif v == "rgbd_geometric":

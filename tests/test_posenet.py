@@ -151,3 +151,31 @@ def test_rot_head_wide_ablation_structure():
     assert p["rot_dense1"]["kernel"].shape == (2048, 1024)
     assert p["rot_dense2"]["kernel"].shape == (1024, 512)
     assert p["rot_out"]["kernel"].shape == (512, 4)
+
+
+def test_rgbd_widehead_and_noattn_ablations():
+    """rgbd ablations: rot_head_wide swaps the fused GELU 512/256 rot head
+    for the rgb-style 2048/1024/512 BN stack; fusion_attention=False drops
+    the CrossModalAttention params and changes the fused function."""
+    from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
+
+    rgb = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    depth = jax.random.normal(jax.random.key(2), (2, 32, 32, 1))
+
+    m = PoseNet(PoseNetConfig(variant="rgbd", img_size=32, rot_head_wide=True))
+    v = m.init(jax.random.key(0), rgb, depth=depth)
+    p = v["params"]
+    # wide head hangs off the 1024-dim fused features
+    assert p["rot_dense0"]["kernel"].shape == (1024, 2048)
+    assert p["rot_dense2"]["kernel"].shape == (1024, 512)
+    assert p["rot_out"]["kernel"].shape == (512, 4)
+    # translation head unchanged (fused GELU stack)
+    assert p["trans_dense0"]["kernel"].shape == (1024, 512)
+    rot, trans = m.apply(v, rgb, depth=depth)
+    assert rot.shape == (2, 4) and trans.shape == (2, 3)
+
+    m2 = PoseNet(PoseNetConfig(variant="rgbd", img_size=32, fusion_attention=False))
+    v2 = m2.init(jax.random.key(0), rgb, depth=depth)
+    assert "cross_attention" not in v2["params"]
+    rot2, trans2 = m2.apply(v2, rgb, depth=depth)
+    assert np.all(np.isfinite(np.asarray(rot2))) and rot2.shape == (2, 4)
