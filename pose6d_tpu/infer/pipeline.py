@@ -60,6 +60,13 @@ class PipelineConfig:
     crop_window: int | None = None
     geometric_correction: bool = True  # re-derive X/Y at deployment
     compute_dtype: object = jnp.bfloat16
+    # rgbd only: crop the depth map in compute_dtype instead of f32. The
+    # rgbd variant consumes only the NORMALIZED depth channel (CNN input),
+    # so bf16 interpolation noise (~0.2% of the metric value) is invisible;
+    # sharing the crop dtype lets XLA CSE the interpolation matrices with
+    # the RGB crop. rgbd_geometric keeps f32 always — its depth is metric
+    # (sampled at the bbox center and back-projected).
+    depth_crop_bf16: bool = True
 
 
 class PosePipeline:
@@ -229,7 +236,14 @@ class PosePipeline:
             kwargs["bbox_center"] = center_orig
             kwargs["camera_matrix"] = camera_K_m
         elif cfg.variant in ("rgbd", "rgbd_geometric"):
-            depth_crop = crop_frames(depth_raw_full[..., None], jnp.float32)[..., 0]
+            depth_dtype = (
+                cfg.compute_dtype
+                if (cfg.variant == "rgbd" and cfg.depth_crop_bf16)
+                else jnp.float32
+            )
+            depth_crop = crop_frames(
+                depth_raw_full[..., None].astype(depth_dtype), depth_dtype
+            )[..., 0]
             if cfg.variant == "rgbd":
                 dn = (depth_crop - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M)
                 dn = jnp.clip(dn, 0.0, 1.0)

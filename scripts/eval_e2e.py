@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--img-size", type=int, default=224)
     ap.add_argument("--rot-head-wide", action="store_true",
                     help="evaluate a weights dir trained with the wide-rot-head ablation")
+    ap.add_argument("--no-fusion-attention", dest="fusion_attention",
+                    action="store_false", default=True,
+                    help="evaluate a weights dir trained with the rgbd no-attention ablation")
     args = ap.parse_args()
 
     import cv2
@@ -64,7 +67,8 @@ def main():
     if yvars is None:
         sys.exit(f"no detector checkpoint in {args.yolo_weights}")
     pcfg = get_preset(args.variant, img_size=args.img_size,
-                      rot_head_wide=args.rot_head_wide)
+                      rot_head_wide=args.rot_head_wide,
+                      fusion_attention=args.fusion_attention)
     pvars = load_model_variables(args.pose_weights, pcfg)
     if pvars is None:
         sys.exit(f"no pose checkpoint in {args.pose_weights}")
@@ -74,7 +78,8 @@ def main():
                        conf_thresh=args.conf_thresh, compute_dtype=jnp.float32),
         ycfg, yvars, pvars,
         PoseNetConfig(variant=args.variant, img_size=args.img_size,
-                      rot_head_wide=args.rot_head_wide),
+                      rot_head_wide=args.rot_head_wide,
+                      fusion_attention=args.fusion_attention),
     )
     evaluator = ADDEvaluator(args.mesh_dir)
 
