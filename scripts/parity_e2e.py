@@ -113,25 +113,28 @@ def main():
 
 
 def write_markdown(args, results: dict) -> None:
-    md = os.path.join(REPO, "PARITY_RESULTS.md")
-    with open(md, "a") as f:
-        f.write(
-            "\n## Full-system (detector-in-the-loop) evaluation\n\n"
-            f"Native YOLOv8n trained {args.epochs} epochs on the fixture "
-            "(reference recipe), then the COMPLETE deployed pipeline — "
-            "detector -> device crop -> pose net — evaluated on the "
-            f"{args.split} split by scripts/eval_e2e.py. The reference has no "
-            "equivalent full-system metric (its comparisons use GT boxes).\n\n"
-            "| variant | det rate % | cls acc % | ADD mm | ADD-S mm | "
-            "ADD-0.1d (detected) % | ADD-0.1d (full system) % |\n"
-            "|---|---|---|---|---|---|---|\n")
-        for v, r in results.items():
-            f.write(f"| {v} | {r.get('det_rate', float('nan')):.1f} "
-                    f"| {r.get('cls_acc', float('nan')):.1f} "
-                    f"| {r.get('add_mm', float('nan')):.1f} "
-                    f"| {r.get('add_s_mm', float('nan')):.1f} "
-                    f"| {r.get('add01d_det', float('nan')):.2f} "
-                    f"| {r.get('add01d_full', float('nan')):.2f} |\n")
+    parts = [
+        "## Full-system (detector-in-the-loop) evaluation\n\n"
+        f"Native YOLOv8n trained {args.epochs} epochs on the fixture "
+        "(reference recipe), then the COMPLETE deployed pipeline — "
+        "detector -> device crop -> pose net — evaluated on the "
+        f"{args.split} split by scripts/eval_e2e.py. The reference has no "
+        "equivalent full-system metric (its comparisons use GT boxes).\n\n"
+        "| variant | det rate % | cls acc % | ADD mm | ADD-S mm | "
+        "ADD-0.1d (detected) % | ADD-0.1d (full system) % |\n"
+        "|---|---|---|---|---|---|---|\n"
+    ]
+    for v, r in results.items():
+        parts.append(f"| {v} | {r.get('det_rate', float('nan')):.1f} "
+                     f"| {r.get('cls_acc', float('nan')):.1f} "
+                     f"| {r.get('add_mm', float('nan')):.1f} "
+                     f"| {r.get('add_s_mm', float('nan')):.1f} "
+                     f"| {r.get('add01d_det', float('nan')):.2f} "
+                     f"| {r.get('add01d_full', float('nan')):.2f} |\n")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_md import write_section
+
+    write_section(args.workdir, "e2e", "".join(parts))
 
 
 if __name__ == "__main__":

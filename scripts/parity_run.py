@@ -47,10 +47,9 @@ def summarize_variant(save_dir: str, best: float) -> dict:
 
 
 def write_markdown(args, results: dict, path: str | None = None) -> None:
-    """PARITY_RESULTS.md: the judge-facing evidence table."""
-    if path is None:
-        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "PARITY_RESULTS.md")
+    """Base table of PARITY_RESULTS.md. Writes its SECTION file and
+    reassembles the document (parity_md) so re-running never clobbers the
+    other producers' sections; `path` writes the section directly (tests)."""
     lines = [
         "# Accuracy-parity evidence (synthetic fixture, real TPU chip)\n\n",
         "All four pose variants trained to saturation by `scripts/parity_run.py` "
@@ -73,8 +72,14 @@ def write_markdown(args, results: dict, path: str | None = None) -> None:
             f"| {r['val_add_mm_at_best']:.1f} | {r['val_add_s_mm_at_best']:.1f} "
             f"| {r['final_train_loss']:.4f} |\n"
         )
-    with open(path, "w") as f:
-        f.writelines(lines)
+    if path is not None:
+        with open(path, "w") as f:
+            f.writelines(lines)
+        return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_md import write_section
+
+    write_section(args.workdir, "base", "".join(lines))
 
 
 def main():
@@ -113,6 +118,20 @@ def main():
     # variants (see PARITY_RESULTS.md "Reading the tables"); results and
     # weights are suffixed so the reference-faithful runs are untouched
     ap.add_argument("--rot-head-wide", action="store_true")
+    # add symmetric objects (folders 10/11, rendered with 180-deg-symmetric
+    # marker colors) to the fixture — ADD-S system-level evidence
+    ap.add_argument("--symmetric-objects", action="store_true")
+    # ablation (rgbd): bypass CrossModalAttention, plain concat fusion —
+    # the gradient-flow probe for the rgbd learning stall (weights saved
+    # under weights_rgbd_noattn)
+    ap.add_argument("--no-fusion-attention", dest="fusion_attention",
+                    action="store_false", default=True)
+    # round-3 default: decode the train split once into HBM and crop on the
+    # MXU inside the train step (train/loop.expand_device_batch) — removes
+    # the ~1% MFU host wall measured in round 2 (PERF.md). Validation keeps
+    # the host cv2 path, so val metrics stay comparable across rounds.
+    ap.add_argument("--no-device-preprocess", dest="device_preprocess",
+                    action="store_false", default=True)
     args = ap.parse_args()
 
     from pose6d_tpu.configs.presets import get_preset
@@ -123,12 +142,23 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     data_root = os.path.join(args.workdir, "synth", "data")
     mesh_dir = os.path.join(args.workdir, "synth", "models")
-    if not os.path.isdir(data_root):
-        print(f"[parity] generating synthetic dataset: {args.objects} objects "
+    # regular objects in folders 1..N, plus (opt-in) SYMMETRIC objects in
+    # folders 10/11 — LineMOD's eggbox/glue slots, 0-indexed ids 9/10 — so
+    # the trained-system evidence exercises the ADD-S-for-symmetric path.
+    # Opt-in (use a FRESH --workdir for it) so the committed 6-object
+    # evidence tree keeps its exact composition; folders are generated
+    # incrementally and models_info.yml merges.
+    want = list(range(1, args.objects + 1)) + (
+        [10, 11] if args.symmetric_objects else []
+    )
+    missing = [o for o in want
+               if not os.path.isdir(os.path.join(data_root, f"{o:02d}"))]
+    if missing:
+        print(f"[parity] generating synthetic objects {missing} "
               f"x {args.frames} frames")
         generate_synthetic_linemod(
             os.path.join(args.workdir, "synth"),
-            obj_ids=tuple(range(1, args.objects + 1)),
+            obj_ids=tuple(missing),
             frames_per_obj=args.frames, seed=args.seed,
             max_angle_deg=args.max_angle_deg,
         )
@@ -139,18 +169,21 @@ def main():
         with open(results_path) as f:
             results = json.load(f)
     for variant in args.variants:
-        name = variant + ("_widehead" if args.rot_head_wide else "")
+        name = (variant + ("_widehead" if args.rot_head_wide else "")
+                + ("" if args.fusion_attention else "_noattn"))
         save_dir = os.path.join(args.workdir, f"weights_{name}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
                          learning_rate=args.lr, plateau_patience=args.patience,
                          augment=AugmentConfig(grayscale_p=0.0),
-                         rot_head_wide=args.rot_head_wide)
+                         rot_head_wide=args.rot_head_wide,
+                         fusion_attention=args.fusion_attention)
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
         trainer = Trainer(
             cfg, data_root, mesh_dir, save_dir,
             seed=args.seed, num_workers=args.num_workers,
             cache_decoded=True,  # ~4 GB RAM; PNG decode dominates host time
+            device_preprocess=args.device_preprocess,
         )
         best = trainer.fit(epochs=args.epochs, early_stop_acc=args.early_stop_acc)
         results[name] = summarize_variant(save_dir, best)

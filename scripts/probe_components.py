@@ -183,24 +183,26 @@ def main():
                   f"ADD(-S) {o['add_mm']:6.1f} mm | ADD-0.1d {o['add01d_pct']:5.1f}%")
 
     if args.append_md and rows:
-        path = os.path.join(REPO, "PARITY_RESULTS.md")
-        with open(path, "a") as f:
-            f.write(MD_HEADER)
-            for r in rows:
-                f.write(f"| {r['variant']} | {r['val_geodesic_deg']:.2f} "
-                        f"| {r['val_xy_err_mm']:.1f} | {r['val_z_err_mm']:.1f} |\n")
-            f.write(
-                "\nPer-object ADD(-S) / ADD-0.1d (val split; the 0.1d "
-                "threshold scales with each object's diameter):\n\n"
-                "| variant | " + " | ".join(
-                    f"obj {oid + 1:02d} (d={o['diameter_mm']:.0f}mm)"
-                    for oid, o in rows[0]["per_object"].items()) + " |\n"
-                + "|---" * (len(rows[0]["per_object"]) + 1) + "|\n")
-            for r in rows:
-                f.write(f"| {r['variant']} | " + " | ".join(
-                    f"{o['add_mm']:.0f}mm / {o['add01d_pct']:.0f}%"
-                    for o in r["per_object"].values()) + " |\n")
-        print(f"appended component table to {path}")
+        parts = [MD_HEADER]
+        for r in rows:
+            parts.append(f"| {r['variant']} | {r['val_geodesic_deg']:.2f} "
+                         f"| {r['val_xy_err_mm']:.1f} | {r['val_z_err_mm']:.1f} |\n")
+        parts.append(
+            "\nPer-object ADD(-S) / ADD-0.1d (val split; the 0.1d "
+            "threshold scales with each object's diameter):\n\n"
+            "| variant | " + " | ".join(
+                f"obj {oid + 1:02d} (d={o['diameter_mm']:.0f}mm)"
+                for oid, o in rows[0]["per_object"].items()) + " |\n"
+            + "|---" * (len(rows[0]["per_object"]) + 1) + "|\n")
+        for r in rows:
+            parts.append(f"| {r['variant']} | " + " | ".join(
+                f"{o['add_mm']:.0f}mm / {o['add01d_pct']:.0f}%"
+                for o in r["per_object"].values()) + " |\n")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from parity_md import write_section
+
+        path = write_section(args.workdir, "attribution", "".join(parts))
+        print(f"wrote attribution section {path} and reassembled the document")
 
 
 if __name__ == "__main__":
