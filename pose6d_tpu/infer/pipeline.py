@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
 from ..geometry.pinhole import adjust_intrinsics_for_crop, pinhole_xy_from_z
 from ..models.posenet import PoseNet, PoseNetConfig
-from ..models.yolo.decode import batched_nms, decode_outputs
+from ..models.yolo.decode import decode_topk_nms
 from ..models.yolo.model import YoloConfig, YoloV8
 from ..ops.augment import eval_preprocess
 from ..ops.crop_resize import (
@@ -49,6 +49,14 @@ class PipelineConfig:
     conf_thresh: float = 0.25
     iou_thresh: float = 0.7
     nms_pre_topk: int = 64
+    # greedy-NMS fixpoint iterations (decode.nms_fixed): exact for
+    # suppression chains up to this depth; None = pre_topk iterations
+    # (always exact, but each is a serial device step — the full 64 cost
+    # ~1.6 ms/batch at B=128 on v5e, ~6% of the whole pipeline). Real
+    # score fields have chains of depth ~<=5; 16 is a 3x-margin bound.
+    # tests/test_yolo.py pins 16-iteration equality with the exact run on
+    # densely clustered boxes.
+    nms_fixpoint_iters: int | None = 16
     # poses estimated per frame: 1 = best box (single-object LineMOD demo);
     # >1 = the reference's loop over every detected box, vectorized
     max_objects: int = 1
@@ -142,11 +150,14 @@ class PosePipeline:
             det_hw = (D, D)
 
         outputs = self.yolo.apply(yolo_variables, canvas)
-        boxes, scores = decode_outputs(outputs, self.yolo_cfg, det_hw)
-        dets = batched_nms(
-            boxes, scores, max_det=max(8, self.cfg.max_objects),
+        # fused decode: top-k preselect BEFORE the DFL box decode — same
+        # results, full-field softmax-expectation work dropped (decode.py)
+        dets = decode_topk_nms(
+            outputs, self.yolo_cfg, det_hw,
+            max_det=max(8, self.cfg.max_objects),
             pre_topk=self.cfg.nms_pre_topk,
             iou_thresh=self.cfg.iou_thresh, conf_thresh=self.cfg.conf_thresh,
+            fixpoint_iters=self.cfg.nms_fixpoint_iters,
         )
         # all detections mapped back to the original frame, score-ordered
         b = dets["boxes"]  # [B, D, 4] xyxy in det frame
@@ -187,29 +198,34 @@ class PosePipeline:
 
         cx1, cy1, csize = crop_params_from_bbox(bbox_xywh)
 
-        def crop_one(src, xs, ys, ss, dtype):
+        def crop_one(src, xs, ys, ss, dtype, scale):
             if cfg.crop_window is not None and cfg.crop_window < min(
                 src.shape[1], src.shape[2]
             ):
                 return crop_resize_matmul_windowed(
-                    src, xs, ys, ss, S, cfg.crop_window, compute_dtype=dtype
+                    src, xs, ys, ss, S, cfg.crop_window, compute_dtype=dtype,
+                    src_scale=scale,
                 )
-            return crop_resize_matmul(src, xs, ys, ss, S, compute_dtype=dtype)
+            return crop_resize_matmul(src, xs, ys, ss, S, compute_dtype=dtype,
+                                      src_scale=scale)
 
-        def crop_frames(src, dtype):
+        def crop_frames(src, dtype, scale=1.0):
             # each of the M crops reads the SAME source frame; loop over the
             # (small, static) M instead of materializing repeated frames
             outs = [
                 crop_one(
                     src, cx1.reshape(B, M)[:, m], cy1.reshape(B, M)[:, m],
-                    csize.reshape(B, M)[:, m], dtype,
+                    csize.reshape(B, M)[:, m], dtype, scale,
                 )
                 for m in range(M)
             ]
             return jnp.stack(outs, axis=1).reshape(B * M, S, S, src.shape[-1])
 
         # matmul formulation: bilinear resample as two MXU matmuls (gathers
-        # are slow on TPU)
+        # are slow on TPU). The crop reads the already-normalized bf16
+        # frames; cropping the raw uint8 frames with 1/255 folded into the
+        # interpolation matrix was tried and measured ~1% SLOWER e2e (the
+        # uint8 (32,128) tiling wall again — see the barrier note above).
         crops = crop_frames(frames_norm, cfg.compute_dtype)
         crops = eval_preprocess(crops).astype(cfg.compute_dtype)
 

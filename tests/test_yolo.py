@@ -162,3 +162,59 @@ def test_nms_fixpoint_deep_chain():
     kept = np.asarray(out["valid"]).sum()
     # greedy keeps boxes 0, 2, 4, ... -> n/2 survivors
     assert int(kept) == n // 2
+
+
+def test_nms_bounded_fixpoint_matches_exact_on_dense_fields():
+    # PipelineConfig.nms_fixpoint_iters=16 trades the 64 serial fixpoint
+    # steps for 16 (~1 ms/batch on chip); the contract is exactness for
+    # suppression chains up to depth 16. Dense random clusters (the
+    # realistic worst case — detector score fields around true objects)
+    # must give identical keep sets.
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        n = 64
+        # 8 tight clusters of 8 boxes each: heavy mutual overlap
+        centers = np.repeat(rng.uniform(0, 80, size=(8, 2)), 8, axis=0)
+        centers += rng.uniform(-4, 4, size=(n, 2))
+        sizes = rng.uniform(10, 20, size=(n, 2))
+        boxes = jnp.asarray(
+            np.concatenate([centers - sizes / 2, centers + sizes / 2],
+                           axis=-1).astype(np.float32))
+        scores = jnp.asarray(rng.uniform(0.1, 1.0, size=(n, 3)).astype(np.float32))
+        exact = nms_fixed(boxes, scores, max_det=n, pre_topk=n,
+                          iou_thresh=0.5, conf_thresh=0.0)
+        fast = nms_fixed(boxes, scores, max_det=n, pre_topk=n,
+                         iou_thresh=0.5, conf_thresh=0.0, fixpoint_iters=16)
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(np.asarray(exact[k]),
+                                          np.asarray(fast[k]), err_msg=k)
+
+
+def test_decode_topk_nms_matches_two_step():
+    # the fused top-k-before-DFL decode must produce exactly the two-step
+    # decode_outputs + batched_nms result (same candidate ranking, same
+    # per-anchor DFL decode, same suppression)
+    from pose6d_tpu.models.yolo.decode import decode_topk_nms
+
+    cfg = YoloConfig(num_classes=5)
+    H, W = 64, 96
+    rng = np.random.default_rng(3)
+    outputs = []
+    for s in cfg.strides:
+        shape = (2, H // s, W // s)
+        outputs.append((
+            jnp.asarray(rng.normal(0, 1.5, shape + (4 * cfg.reg_max,)),
+                        jnp.float32),
+            jnp.asarray(rng.normal(-2, 2, shape + (cfg.num_classes,)),
+                        jnp.float32),
+        ))
+    kw = dict(max_det=8, pre_topk=32, iou_thresh=0.5, conf_thresh=0.1,
+              fixpoint_iters=16)
+    boxes, scores = decode_outputs(outputs, cfg, (H, W))
+    ref = batched_nms(boxes, scores, **kw)
+    got = decode_topk_nms(outputs, cfg, (H, W), **kw)
+    for k in ("scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                      err_msg=k)
+    np.testing.assert_allclose(np.asarray(ref["boxes"]),
+                               np.asarray(got["boxes"]), atol=1e-4)
