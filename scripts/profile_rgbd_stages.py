@@ -115,8 +115,13 @@ def main():
         depth_f)
 
     pv = pipe.pose_variables
+    # BOTH inputs ride the perturbed example tree: closing depth over the
+    # timing loop lets XLA hoist the (loop-invariant) depth tower out of the
+    # fori_loop body, silently timing only the RGB tower (measured: 9.0 ms
+    # "dual-tower" = the rgb tower alone; impossible 116% MFU).
     stages["posenet_full"] = chained(
-        lambda c, v: pipe.posenet.apply(v, c, depth=dcrops), crops, pv)
+        lambda cd, v: pipe.posenet.apply(v, cd["rgb"], depth=cd["d"]),
+        {"rgb": crops, "d": dcrops}, pv)
 
     # isolate the two backbones: an rgb-variant PoseNet shares the rgb
     # backbone + equivalent head shapes; depth backbone = difference is
