@@ -17,6 +17,7 @@ fetch costs cancel.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -35,7 +36,10 @@ def _build_pipeline(batch_size, variant="rgb"):
     ycfg = YoloConfig(num_classes=13, dtype=jnp.bfloat16)
     yolo = YoloV8(ycfg)
     yvars = yolo.init(jax.random.key(0), jnp.zeros((1, 640, 640, 3)))
-    pcfg = PoseNetConfig(variant=variant, img_size=224, dtype=jnp.bfloat16)
+    # POSE6D_BENCH_S2D=1: space-to-depth ResNet stems (exact reparam of the
+    # 7x7/s2 conv1, models/resnet.py) — perf A/B knob for the bench only
+    pcfg = PoseNetConfig(variant=variant, img_size=224, dtype=jnp.bfloat16,
+                         stem_s2d=bool(int(os.environ.get("POSE6D_BENCH_S2D", "0"))))
     pose = PoseNet(pcfg)
     pose_kwargs = {}
     if variant == "rgbd":
