@@ -194,12 +194,24 @@ class Trainer:
             fs = self.frame_store
             meta, n_steps = fs.epoch_meta(cfg.batch_size, rng, shuffle=True)
             if n_steps:
+                t_meta = time.monotonic()
                 keys = jax.random.split(key, n_steps)
                 self.state, loss_arr = self.train_epoch_fn(
                     self.state, fs.rgb_frames, fs.depth_frames,
                     self._put_epoch_meta(meta), keys,
                 )
+                t_disp = time.monotonic()
                 losses.append(loss_arr)  # [n_steps]; fetched once below
+                # split the epoch wall for the tunnel-dispatch postmortem:
+                # meta = host numpy bookkeeping, dispatch = jit call return,
+                # exec+fetch = remote execution forced by the loss fetch
+                np.asarray(loss_arr)  # lazy backends execute on fetch
+                t_exec = time.monotonic()
+                print(
+                    f"  [epoch-timing] meta {t_meta - t0:.2f}s | "
+                    f"dispatch {t_disp - t_meta:.2f}s | "
+                    f"exec+fetch {t_exec - t_disp:.2f}s", flush=True,
+                )
         else:
             for batch in self.train_loader.batches(cfg.batch_size, rng, shuffle=True):
                 key, sub = jax.random.split(key)
