@@ -49,6 +49,13 @@ class TrainConfig:
     # variants) and the rgbd no-attention concat-fusion probe
     rot_head_wide: bool = False
     fusion_attention: bool = True
+    # mixed-precision training: "bfloat16" runs the model's compute in bf16
+    # while params / optimizer state / BN running stats / loss stay f32
+    # (standard TPU recipe). On v5e the default-f32 train step measures
+    # ~385 ms on device (f32 convs are emulated at ~1/6 bf16 MXU rate);
+    # bf16 compute attacks exactly that. Validation always runs f32 so val
+    # curves stay comparable across the A/B (make_eval_step).
+    compute_dtype: str = "float32"
 
 
 class TrainState(struct.PyTreeNode):
@@ -148,6 +155,7 @@ def create_train_state(
     state_dict (.pth); backbones are then initialized from it (incl. the
     RGBD depth-branch summed-conv1 init)."""
     model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size,
+                                       dtype=jnp.dtype(cfg.compute_dtype).type,
                                        rot_head_wide=cfg.rot_head_wide,
                                        fusion_attention=cfg.fusion_attention))
     S = cfg.img_size
@@ -194,7 +202,10 @@ def _make_core(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfi
                 **model_inputs(cfg.variant, batch, rgb),
             )
             pred_rot, pred_trans = outputs
-            loss = pose_loss(pred_rot, pred_trans, batch["quat"], batch["trans"], cfg.loss)
+            # loss in f32 regardless of the model's compute dtype
+            loss = pose_loss(pred_rot.astype(jnp.float32),
+                             pred_trans.astype(jnp.float32),
+                             batch["quat"], batch["trans"], cfg.loss)
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -271,7 +282,13 @@ def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
 
     `evaluator` is an ADDEvaluator; its device arrays are closed over. The
     'valid' mask excludes padded rows of the final batch, so per-batch means
-    match the reference's un-padded batches exactly."""
+    match the reference's un-padded batches exactly.
+
+    Validation always runs the model in f32 (sharing the trained params):
+    under mixed-precision training (TrainConfig.compute_dtype="bfloat16")
+    this keeps val metrics numerically comparable to the f32 baseline."""
+    if model.config.dtype != jnp.float32:
+        model = PoseNet(dataclasses.replace(model.config, dtype=jnp.float32))
     points = evaluator.points
     diameters = evaluator.diameters
     symmetric = evaluator.symmetric

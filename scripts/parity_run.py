@@ -130,6 +130,9 @@ def main():
     # MXU inside the train step (train/loop.expand_device_batch) — removes
     # the ~1% MFU host wall measured in round 2 (PERF.md). Validation keeps
     # the host cv2 path, so val metrics stay comparable across rounds.
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training (bf16 compute, f32 "
+                         "params/loss; val always f32) — TPU throughput A/B")
     ap.add_argument("--no-device-preprocess", dest="device_preprocess",
                     action="store_false", default=True)
     args = ap.parse_args()
@@ -170,13 +173,15 @@ def main():
             results = json.load(f)
     for variant in args.variants:
         name = (variant + ("_widehead" if args.rot_head_wide else "")
-                + ("" if args.fusion_attention else "_noattn"))
+                + ("" if args.fusion_attention else "_noattn")
+                + ("_bf16" if args.bf16 else ""))
         save_dir = os.path.join(args.workdir, f"weights_{name}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
                          learning_rate=args.lr, plateau_patience=args.patience,
                          augment=AugmentConfig(grayscale_p=0.0),
                          rot_head_wide=args.rot_head_wide,
-                         fusion_attention=args.fusion_attention)
+                         fusion_attention=args.fusion_attention,
+                         compute_dtype="bfloat16" if args.bf16 else "float32")
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
         trainer = Trainer(
