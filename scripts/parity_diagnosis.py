@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Produce the 'rgbd fusion stall' diagnosis section of PARITY_RESULTS.md.
+
+Reads parity/results.json (training outcomes of the rgbd ablation runs) and
+parity/rgbd_gradient_probe.json (CPU gradient-flow probe) and writes the
+`diagnosis` section via the clobber-proof assembler (scripts/parity_md.py).
+
+Usage:  python scripts/parity_diagnosis.py --workdir /root/repo/parity
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default=os.path.join(REPO, "parity"))
+    args = ap.parse_args()
+
+    with open(os.path.join(args.workdir, "results.json")) as f:
+        res = json.load(f)
+
+    probe_path = os.path.join(args.workdir, "rgbd_gradient_probe.json")
+    probe = json.load(open(probe_path)) if os.path.exists(probe_path) else {}
+
+    def row(name):
+        r = res.get(name)
+        if not r:
+            return None
+        return (r["best_add01d"], r.get("best_epoch", "?"),
+                r.get("epochs_run", "?"), r.get("final_train_loss"))
+
+    base = row("rgbd")
+    wide = row("rgbd_widehead")
+    noattn = row("rgbd_noattn")
+
+    def fmt(r, note):
+        if r is None:
+            return ""
+        acc, be, er, fl = r
+        loss = f"{fl:.3f}" if isinstance(fl, (int, float)) else "—"
+        return f"| {note} | {acc:.2f}% (ep {be}) | {er} | {loss} |\n"
+
+    probe_line = ""
+    if probe:
+        rgb_bb = probe["rgb"]["grad_rms"]["init"].get("rgb_backbone")
+        rgbd_bb = probe["rgbd"]["grad_rms"]["init"].get("rgb_backbone")
+        probe_line = (
+            f"backbone gradient RMS at init is {rgbd_bb:.1e} for rgbd vs "
+            f"{rgb_bb:.1e} for rgb (same order), and every configuration "
+            "memorizes a 16-sample batch within 10 steps "
+            "(`parity/rgbd_gradient_probe.json`, CPU-reproducible via "
+            "`scripts/probe_rgbd_gradients.py`)")
+
+    text = f"""## The rgbd fusion stall: attention, not capacity, not gradients
+
+Round 2 left the rgbd fusion variant unexplained: worst fixture learner
+(4.46% val ADD-0.1d) even though it BEATS rgb on the reference's real data
+(21.20 vs 13.35, reference README.md:28-33). Round 3 ran the attribution:
+
+| rgbd configuration | best val ADD-0.1d | epochs run | loss at cut |
+|---|---|---|---|
+{fmt(base, "reference architecture")}{fmt(wide, "+ wide rotation head")}{fmt(noattn, "− CrossModalAttention (concat fusion)")}
+- **Head capacity is ruled out**: the wide-head swap that took
+  rgbd_geometric from a 35% plateau to 98.9% does nothing for rgbd — same
+  ~0.63 loss plateau, LR halvings included.
+- **Gradient starvation is ruled out**: {probe_line}.
+- **Removing the attention unsticks optimization**: without the residual
+  cross-head attention the SAME fused bottleneck + heads descend steadily
+  (loss 0.62-plateau → 0.35 and still falling at the epoch-50 cut) and val
+  climbs to 12.05% and rising.
+
+Diagnosis: the reference's CrossModalAttention — which attends ACROSS the
+8 head-slices of a single fused vector ([B,8,8] attention, reference
+models/pose_net_rgbd.py:8-35, reproduced exactly and golden-tested here —
+see PARITY.md) — conditions the loss landscape badly under this
+from-scratch fixture recipe. Gradients flow (probe above) but full-scale
+optimization circles a plateau. On the reference's own setup the
+ImageNet-pretrained towers presumably start the attention in a useful
+basin; from scratch it is an obstacle. This is an architecture-bound
+property reproduced from the reference, not a framework defect: the
+framework trains the SAME network to steady descent the moment the
+attention residual is bypassed (`parity_run.py --no-fusion-attention`),
+and trains the attention math itself to numerical identity with the
+reference's module (golden tests).
+"""
+    spec = importlib.util.spec_from_file_location(
+        "parity_md", os.path.join(REPO, "scripts", "parity_md.py"))
+    md = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(md)
+    path = md.write_section(args.workdir, "diagnosis", text)
+    print(f"wrote {path} and reassembled PARITY_RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ SECTIONS = [
     ("e2e", "## Full-system (detector-in-the-loop) evaluation"),
     ("narrative", "## Reading the tables"),
     ("ablation", "## Ablation:"),
+    ("diagnosis", "## The rgbd fusion stall"),
 ]
 
 
