@@ -74,6 +74,42 @@ def main():
         if variant.startswith("rgbd") else None)
 
     report = {}
+
+    # bracket the non-model cost: gather + crop matmuls + augment only
+    import jax.numpy as jnp_
+    from pose6d_tpu.train.loop import expand_device_batch
+    from pose6d_tpu.ops.augment import AugmentConfig, train_augment
+
+    def nomodel_epoch(frames_u8, depth_u16, meta_scan, keys):
+        def body(carry, xs):
+            meta, key = xs
+            batch = expand_device_batch(frames_u8, depth_u16, meta, 224)
+            rgb = train_augment(key, batch["rgb"], AugmentConfig())
+            s = jnp_.sum(rgb.astype(jnp_.float32))
+            if "depth" in batch:
+                s = s + jnp_.sum(batch["depth"].astype(jnp_.float32))
+            return carry + s, s
+
+        return jax.lax.scan(body, jnp_.zeros(()), (meta_scan, keys))
+
+    nomodel = jax.jit(nomodel_epoch)
+
+    def run_nomodel(k):
+        meta = {kk: jnp.asarray(v[:k]) for kk, v in
+                epoch_meta_synth(n_steps, B, n_frames).items()}
+        keys = jax.random.split(jax.random.key(1), k)
+        t0 = time.perf_counter()
+        _, per = nomodel(frames, depth, meta, keys)
+        _ = np.asarray(per)
+        return time.perf_counter() - t0
+
+    run_nomodel(1); run_nomodel(n_steps)
+    t1, tn = run_nomodel(1), run_nomodel(n_steps)
+    ms0 = (tn - t1) / (n_steps - 1) * 1e3
+    report["nomodel"] = {"ms_per_step": round(ms0, 1)}
+    print(f"{variant} no-model (gather+crop+augment): {ms0:.1f} ms/step",
+          file=sys.stderr)
+
     for dtype in ("float32", "bfloat16"):
         cfg = TrainConfig(variant=variant, compute_dtype=dtype)
         model, tx, state = create_train_state(cfg, jax.random.key(0))
