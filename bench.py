@@ -45,9 +45,12 @@ def _build_pipeline(batch_size, variant="rgb"):
     if variant == "rgbd":
         pose_kwargs["depth"] = jnp.zeros((1, 224, 224, 1))
     pvars = pose.init(jax.random.key(1), jnp.zeros((1, 224, 224, 3)), **pose_kwargs)
+    # nms_pre_topk=32 measured +0.8% for rgbd (PERF.md sweep table); still a
+    # 4x margin over max_det=8 on LineMOD's one-object-per-frame fields
     pipe = PosePipeline(
         PipelineConfig(variant=variant, det_size=640, conf_thresh=0.0,
-                       compute_dtype=jnp.bfloat16),
+                       compute_dtype=jnp.bfloat16,
+                       nms_pre_topk=32 if variant == "rgbd" else 64),
         ycfg, yvars, pvars, pcfg,
     )
     rng = np.random.default_rng(0)

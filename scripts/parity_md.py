@@ -23,6 +23,7 @@ SECTIONS = [
     ("narrative", "## Reading the tables"),
     ("ablation", "## Ablation:"),
     ("diagnosis", "## The rgbd fusion stall"),
+    ("symmetric", "## Symmetric objects"),
 ]
 
 
