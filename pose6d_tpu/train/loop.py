@@ -107,14 +107,17 @@ def expand_device_batch(
     exact for all label/bookkeeping fields."""
     from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
     from ..ops.crop_resize import crop_resize_matmul
+    from ..ops.gather_frames import gather_frames
 
     idx = batch["idx"]
     x1, y1, size = batch["x1"], batch["y1"], batch["size"]
     out = dict(batch)
-    src = jnp.take(frames_u8, idx, axis=0).astype(jnp.float32)
+    # Pallas scalar-prefetch gather: jnp.take on the narrow-dtype resident
+    # buffer measured ~300 ms/step on v5e (PERF.md round 3)
+    src = gather_frames(frames_u8, idx).astype(jnp.float32)
     out["rgb"] = crop_resize_matmul(src, x1, y1, size, img_size) / 255.0
     if depth_u16 is not None:
-        dsrc = jnp.take(depth_u16, idx, axis=0).astype(jnp.float32)[..., None]
+        dsrc = gather_frames(depth_u16, idx).astype(jnp.float32)[..., None]
         raw = crop_resize_matmul(dsrc, x1, y1, size, img_size)[..., 0] / 1000.0
         out["depth_raw"] = raw
         d = jnp.clip((raw - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M), 0.0, 1.0)
