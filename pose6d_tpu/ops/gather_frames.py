@@ -3,20 +3,25 @@
 The device-resident trainer keeps the whole decoded split in HBM as uint8
 RGB [N, H, W, 3] / uint16 depth-mm [N, H, W] and gathers each step's batch
 by index inside the epoch `lax.scan` (train/loop.expand_device_batch).
-`jnp.take` on those buffers is the wrong tool on TPU: XLA lowers the
-narrow-dtype gather catastrophically (measured ~300 ms/step for batch 32
-from 256 resident frames on v5e — 100x the cost of the crop matmuls that
-CONSUME the gathered frames, and >1000x the ~30 MB of traffic the gather
-actually needs to move; see PERF.md round 3).
 
-TPU-native formulation instead:
-  1. Bitcast each frame to a flat row of uint32 words (kills the 8/16-bit
-     (32, 128)-tile padding problem; 4x fewer elements).
+History (PERF.md round 3): the first no-model bracket attributed the
+~300 ms/step training wall to `jnp.take` on these buffers and this kernel
+was written as the fix. The finer per-stage bracket
+(scripts/profile_nomodel.py, real v5e) then REFUTED that: the take costs
+~1 ms at batch 32 — the wall was the `jnp.choose` gather inside the
+augmentation's HSV conversion. Measured on chip, `jnp.take` (0.96 ms) and
+this kernel (1.62 ms) are both noise at step scale.
+
+The Pallas formulation is kept as the dispatch path because its cost is
+guaranteed by construction rather than by XLA's gather lowering mood:
+  1. Bitcast each frame to a flat row of uint32 words (no 8/16-bit
+     (32, 128)-tile padding; 4x fewer elements), shaped [R/128, 128]
+     to satisfy Mosaic's (8, 128) block-tiling rule.
   2. Gather rows with a Pallas kernel whose BlockSpec `index_map` reads the
      batch indices from scalar-prefetch memory — the pipeline then DMAs
-     exactly the B requested frames HBM -> VMEM -> HBM and nothing else.
-     (A one-hot matmul gather would be MXU-friendly but reads ALL N
-     resident frames per step: ~3 GB/step at the parity run's N=3,360.)
+     exactly the B requested frames HBM -> VMEM -> HBM and nothing else,
+     independent of N. (A one-hot matmul gather would read ALL N resident
+     frames per step: ~3 GB/step at the parity run's N=3,360.)
 
 Bit-exact vs `jnp.take` by construction (pure word moves, no arithmetic);
 pinned by tests/test_gather_frames.py. Falls back to interpreter mode
@@ -32,30 +37,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
+_SUBLANES = 8
 
 
 def _gather_rows_kernel(idx_ref, src_ref, out_ref):
-    # src block is the [1, R] row selected by index_map; copy it out.
+    # src block is the [1, R/128, 128] frame selected by index_map; copy it.
     del idx_ref
     out_ref[...] = src_ref[...]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _gather_rows_u32(src: jax.Array, idx: jax.Array, *, interpret: bool):
-    """src [N, R] uint32, idx [B] int32 -> [B, R] uint32 == src[idx]."""
-    _, r = src.shape
+    """src [N, R] uint32 (R % 1024 == 0), idx [B] int32 -> src[idx].
+
+    Mosaic requires the last two block dims to be (8k, 128m) (or match the
+    array), so the flat word row is shaped [R/128, 128] and the kernel moves
+    one whole frame (block rows = R/128, a multiple of 8) per grid step."""
+    n, r = src.shape
+    rows = r // _LANES
+    src3 = src.reshape(n, rows, _LANES)
     b = idx.shape[0]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_rows_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
-            in_specs=[pl.BlockSpec((1, r), lambda i, idx_ref: (idx_ref[i], 0))],
-            out_specs=pl.BlockSpec((1, r), lambda i, idx_ref: (i, 0)),
+            in_specs=[
+                pl.BlockSpec((1, rows, _LANES), lambda i, idx_ref: (idx_ref[i], 0, 0))
+            ],
+            out_specs=pl.BlockSpec((1, rows, _LANES), lambda i, idx_ref: (i, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, r), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b, rows, _LANES), jnp.uint32),
         interpret=interpret,
-    )(idx.astype(jnp.int32), src)
+    )(idx.astype(jnp.int32), src3)
+    return out.reshape(b, r)
 
 
 def gather_frames(src: jax.Array, idx: jax.Array) -> jax.Array:

@@ -112,8 +112,9 @@ def expand_device_batch(
     idx = batch["idx"]
     x1, y1, size = batch["x1"], batch["y1"], batch["size"]
     out = dict(batch)
-    # Pallas scalar-prefetch gather: jnp.take on the narrow-dtype resident
-    # buffer measured ~300 ms/step on v5e (PERF.md round 3)
+    # Pallas scalar-prefetch gather: O(B) DMA by construction, independent
+    # of XLA's narrow-dtype gather lowering (see ops/gather_frames.py; on
+    # v5e it and jnp.take both measure ~1 ms/step at batch 32)
     src = gather_frames(frames_u8, idx).astype(jnp.float32)
     out["rgb"] = crop_resize_matmul(src, x1, y1, size, img_size) / 255.0
     if depth_u16 is not None:
