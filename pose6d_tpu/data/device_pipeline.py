@@ -145,8 +145,24 @@ class DeviceFrameStore:
                 )
 
         put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
-        self.rgb_frames = put(rgb)  # [N, H, W, 3] uint8, device
-        self.depth_frames = put(depth) if depth is not None else None
+        # frames ship HOST-PACKED as u32 words ([N, R]) whenever the
+        # geometry allows: the in-graph u8->u32 bitcast alternative
+        # materializes a 4x expanded copy of the ENTIRE buffer as a hoisted
+        # temp (15.8 GB at parity scale -> compile OOM; see
+        # ops/gather_frames.pack_frames_host). Odd geometries fall back to
+        # the raw array + jnp.take.
+        from ..ops.gather_frames import pack_frames_host
+
+        self.frame_shape = (self.frame_h, self.frame_w, 3)
+        rgb_words = pack_frames_host(rgb)
+        self.rgb_packed = rgb_words is not None
+        self.rgb_frames = put(rgb_words if self.rgb_packed else rgb)
+        self.depth_packed = False
+        self.depth_frames = None
+        if depth is not None:
+            d_words = pack_frames_host(depth)
+            self.depth_packed = d_words is not None
+            self.depth_frames = put(d_words if self.depth_packed else depth)
 
         # per-sample static labels, host numpy (tiny)
         from scipy.spatial.transform import Rotation as _R
@@ -165,9 +181,9 @@ class DeviceFrameStore:
         return len(self.samples)
 
     def nbytes(self) -> int:
-        n = self.rgb_frames.size
+        n = self.rgb_frames.size * self.rgb_frames.dtype.itemsize
         if self.depth_frames is not None:
-            n += self.depth_frames.size * 2
+            n += self.depth_frames.size * self.depth_frames.dtype.itemsize
         return int(n)
 
     # ---------------------------------------------------------------- batches

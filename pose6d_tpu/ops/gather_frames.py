@@ -79,6 +79,13 @@ def gather_frames(src: jax.Array, idx: jax.Array) -> jax.Array:
     src: [N, ...] uint8/uint16/uint32 with contiguous trailing dims;
     idx: [B] integer. Returns [B, ...] with src's dtype, bit-exact with
     `jnp.take(src, idx, axis=0)`.
+
+    NOTE: for narrow dtypes this bitcasts the FULL source to packed u32
+    words inside the graph — XLA lowers that bitcast to a per-byte u32
+    convert + copy of the whole buffer (measured: a hoisted 15.8 GB HLO
+    temp for the 3,360-frame parity split -> compile-time HBM OOM). Use
+    pack_frames_host + gather_frames_packed for large resident buffers;
+    this entry point is for small/odd-geometry arrays and tests.
     """
     n = src.shape[0]
     frame_shape = src.shape[1:]
@@ -98,3 +105,41 @@ def gather_frames(src: jax.Array, idx: jax.Array) -> jax.Array:
     if pack > 1:
         out = jax.lax.bitcast_convert_type(out, src.dtype)  # [B, R, pack]
     return out.reshape((idx.shape[0],) + frame_shape)
+
+
+def pack_frames_host(a) -> "object | None":
+    """HOST-side zero-copy pack of a frame buffer [N, ...] (uint8/uint16)
+    into u32 words [N, R] for gather_frames_packed, or None when the frame
+    byte count doesn't divide into whole 128-lane word rows.
+
+    The pack MUST happen on the host: inside the graph the equivalent
+    `lax.bitcast_convert_type` materializes a 4x-expanded u32 copy of the
+    ENTIRE resident buffer as a loop-hoisted temp (15.8 GB for the parity
+    split — the round-3 compile-time OOM). A numpy `.view` is a free
+    reinterpretation of the same bytes.
+    """
+    import numpy as np
+
+    n = a.shape[0]
+    flat = np.ascontiguousarray(a).reshape(n, -1)
+    nbytes = flat.shape[1] * flat.dtype.itemsize
+    words, rem = divmod(nbytes, 4)
+    if rem != 0 or words % _LANES != 0:
+        return None
+    return flat.view(np.uint32)
+
+
+def gather_frames_packed(
+    words: jax.Array, idx: jax.Array, frame_shape: tuple, dtype
+) -> jax.Array:
+    """Gather from a host-packed word buffer: words [N, R] u32 (from
+    pack_frames_host), returns [B, *frame_shape] in `dtype`. Bit-exact with
+    `jnp.take(src, idx, axis=0)` on the original array (little-endian word
+    packing both sides). Only the B gathered frames are ever bitcast back,
+    so the unpack temp is batch-sized, not split-sized."""
+    interpret = jax.default_backend() != "tpu"
+    out = _gather_rows_u32(words, idx, interpret=interpret)  # [B, R]
+    dtype = jnp.dtype(dtype)
+    if dtype.itemsize != 4:
+        out = jax.lax.bitcast_convert_type(out, dtype)  # [B, R, pack]
+    return out.reshape((idx.shape[0],) + tuple(frame_shape))

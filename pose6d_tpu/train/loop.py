@@ -94,20 +94,26 @@ def decompress_batch(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
 
 
 def expand_device_batch(
-    frames_u8: jax.Array,  # [N, H, W, 3] uint8, device-resident split
-    depth_u16: Optional[jax.Array],  # [N, H, W] uint16 or None
+    frames_u8: jax.Array,  # [N, H, W, 3] uint8 OR host-packed [N, R] u32
+    depth_u16: Optional[jax.Array],  # [N, H, W] uint16 / packed u32 / None
     batch: Dict[str, jax.Array],  # meta batch (DeviceFrameStore.batches)
     img_size: int,
+    frame_hw: Optional[tuple] = None,  # (H, W), required for packed inputs
 ) -> Dict[str, jax.Array]:
     """On-device half of the preprocessing contract: gather the batch's
     frames from the resident split and run crop+resize as MXU matmuls
     (SURVEY §7 step 9's on-device stage). Produces the same batch fields as
     LineMODPoseLoader (rgb in [0,1] f32, depth normalized, depth_raw meters);
     equality with the cv2 host path is ~1/255 (tests/test_device_pipeline.py),
-    exact for all label/bookkeeping fields."""
+    exact for all label/bookkeeping fields.
+
+    Resident buffers arrive either raw ([N, H, W, C] narrow dtype) or
+    HOST-PACKED as u32 words ([N, R], DeviceFrameStore default) — packing
+    on device would materialize a hoisted 4x u32 copy of the whole split
+    (the round-3 compile OOM; see ops/gather_frames.pack_frames_host)."""
     from ..data.crop import DEPTH_INVALID_M, DEPTH_MAX_M, DEPTH_MIN_M
     from ..ops.crop_resize import crop_resize_matmul
-    from ..ops.gather_frames import gather_frames
+    from ..ops.gather_frames import gather_frames, gather_frames_packed
 
     idx = batch["idx"]
     x1, y1, size = batch["x1"], batch["y1"], batch["size"]
@@ -115,10 +121,19 @@ def expand_device_batch(
     # Pallas scalar-prefetch gather: O(B) DMA by construction, independent
     # of XLA's narrow-dtype gather lowering (see ops/gather_frames.py; on
     # v5e it and jnp.take both measure ~1 ms/step at batch 32)
-    src = gather_frames(frames_u8, idx).astype(jnp.float32)
+    if frames_u8.ndim == 2:
+        src = gather_frames_packed(
+            frames_u8, idx, (*frame_hw, 3), jnp.uint8)
+    else:
+        src = gather_frames(frames_u8, idx)
+    src = src.astype(jnp.float32)
     out["rgb"] = crop_resize_matmul(src, x1, y1, size, img_size) / 255.0
     if depth_u16 is not None:
-        dsrc = gather_frames(depth_u16, idx).astype(jnp.float32)[..., None]
+        if depth_u16.ndim == 2:
+            dsrc = gather_frames_packed(depth_u16, idx, frame_hw, jnp.uint16)
+        else:
+            dsrc = gather_frames(depth_u16, idx)
+        dsrc = dsrc.astype(jnp.float32)[..., None]
         raw = crop_resize_matmul(dsrc, x1, y1, size, img_size)[..., 0] / 1000.0
         out["depth_raw"] = raw
         d = jnp.clip((raw - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M), 0.0, 1.0)
@@ -232,20 +247,25 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
     device_preprocess: bool = False,
+    frame_hw: Optional[tuple] = None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, key) -> (state, metrics).
 
     With device_preprocess=True the signature becomes
     (state, frames_u8, depth_u16, batch, key): `batch` is a metadata-only
     batch (DeviceFrameStore) and crop+resize runs inside this jit on the
-    device-resident frames."""
+    device-resident frames (host-packed u32 when frame_hw is given)."""
     core = _make_core(model, tx, cfg)
 
     if device_preprocess:
 
         def step_dev(state, frames_u8, depth_u16, batch, key):
             return core(
-                state, expand_device_batch(frames_u8, depth_u16, batch, cfg.img_size), key
+                state,
+                expand_device_batch(
+                    frames_u8, depth_u16, batch, cfg.img_size, frame_hw
+                ),
+                key,
             )
 
         return jax.jit(step_dev, donate_argnums=0)
@@ -256,7 +276,12 @@ def make_train_step(
     return jax.jit(step, donate_argnums=0)
 
 
-def make_train_epoch(model: PoseNet, tx: optax.GradientTransformation, cfg: TrainConfig) -> Callable:
+def make_train_epoch(
+    model: PoseNet,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    frame_hw: Optional[tuple] = None,
+) -> Callable:
     """Whole-epoch train function: ONE dispatch per epoch.
 
     Measured on the tunneled v5e chip, per-step dispatch costs ~0.35 s
@@ -272,7 +297,9 @@ def make_train_epoch(model: PoseNet, tx: optax.GradientTransformation, cfg: Trai
     def epoch_fn(state, frames_u8, depth_u16, meta_scan, keys):
         def body(state, xs):
             meta, key = xs
-            batch = expand_device_batch(frames_u8, depth_u16, meta, cfg.img_size)
+            batch = expand_device_batch(
+                frames_u8, depth_u16, meta, cfg.img_size, frame_hw
+            )
             new_state, metrics = core(state, batch, key)
             return new_state, metrics["loss"]
 

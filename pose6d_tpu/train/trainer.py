@@ -109,7 +109,10 @@ class Trainer:
             # ONE dispatch per epoch (lax.scan over the stacked metadata):
             # per-step dispatch RTT over tunneled backends is the real wall
             self.train_step = None
-            self.train_epoch_fn = make_train_epoch(self.model, self.tx, cfg)
+            self.train_epoch_fn = make_train_epoch(
+                self.model, self.tx, cfg,
+                frame_hw=(self.frame_store.frame_h, self.frame_store.frame_w),
+            )
         else:
             self.train_step = make_train_step(self.model, self.tx, cfg)
             self.train_epoch_fn = None

@@ -81,9 +81,12 @@ def test_store_matches_host_loader_eval_path(synth):
     hb = next(host.batches(4, rng, shuffle=False, drop_remainder=False))
     mb = next(store.batches(4, np.random.default_rng(0), shuffle=False,
                             drop_remainder=False))
+    # the store ships host-packed u32 words at this geometry
+    assert store.rgb_packed and store.depth_packed
     out = expand_device_batch(
         store.rgb_frames, store.depth_frames,
         {k: jnp.asarray(v) for k, v in mb.items()}, store.img_size,
+        (store.frame_h, store.frame_w),
     )
 
     np.testing.assert_array_equal(np.asarray(mb["obj_id"]), hb["obj_id"])
