@@ -69,20 +69,23 @@ translation-supervised backbone converge to ~2.4 deg rotation and ~20 mm z
 — jumps to {e('rgb', 'add01d_full')}% full-system ADD-0.1d behind the 0.975
 mAP detector.
 
-**Rotation-head capacity is the live axis.** Both geometric variants use
-the reference's smaller 1024/512 rotation head and their backbones receive
-no translation gradients; on this from-scratch recipe they plateau at
-~18.8 deg val geodesic (so does rgbd with its fused GELU heads — three
-different architectures within 0.05 deg of each other, while rgb descends
-steadily to 2.46 deg; re-estimating BatchNorm statistics changes nothing,
-so this is an optimization plateau, not an eval artifact), which keeps rgbd_geometric at
-{v('rgbd_geometric', 'best_add01d')}% val (translation near-exact from
-depth, ADD almost purely rotational) and explains rgb_geometric's deployed
-{e('rgb_geometric', 'add01d_full')}%. The reference's published numbers
-rely on an ImageNet-pretrained backbone (unavailable here — zero egress) to
-carry exactly this load; with `--pretrained-backbone` and real LineMOD, the
-same recipes run unchanged through `scripts/train.py` and the golden-tested
-weight converter.
+**Rotation-head capacity sets convergence speed, not the ceiling.** Both
+geometric variants use the reference's smaller 1024/512 rotation head and
+their backbones receive no translation gradients; on this from-scratch
+recipe they spend tens of epochs on a ~18.8 deg val-geodesic plateau while
+rgb's 2048-wide heads descend steadily to 2.46 deg. Round 3 completed the
+budgets and resolved what the plateau means: rgbd_geometric with the
+reference head ESCAPES after the plateau scheduler's first LR halving and
+reaches {v('rgbd_geometric', 'best_add01d')}% val at epoch 69, while the
+wide-head ablation reaches the same accuracy in 6 — capacity buys ~11×
+faster convergence, not a different end point (ablation section below).
+rgb_geometric remains bounded by its learned monocular z (deployed
+{e('rgb_geometric', 'add01d_full')}%), a depth-information bound, not a
+head bound. The reference's published numbers rely on an
+ImageNet-pretrained backbone (unavailable here — zero egress) to make the
+narrow heads converge within the published 75-epoch budget; with
+`--pretrained-backbone` and real LineMOD, the same recipes run unchanged
+through `scripts/train.py` and the golden-tested weight converter.
 
 **Why this demonstrates parity.** The networks are numerically
 interchangeable with the reference's (full-model forward golden tests, both

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 
 import numpy as np
 
+if os.environ.get("POSE6D_FORCE_CPU"):
+    # the axon sitecustomize forces "axon,cpu"; config wins over env
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def chained(fn, frames, K, depth, extra, n=50):
     import jax
