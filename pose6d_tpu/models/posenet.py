@@ -52,6 +52,14 @@ class PoseNetConfig:
     # attention path starves rotation gradients (round-2 finding: rgbd is
     # the worst fixture learner at 4.46% val ADD-0.1d).
     fusion_attention: bool = True
+    # TRAINING FIX (rgbd only, opt-in; parameter-shape-preserving): zero-init
+    # the CrossModalAttention out_proj so the residual starts exactly at
+    # identity — training begins from the (well-conditioned) concat-fusion
+    # landscape and learns to open the attention pathway gradually. Motivated
+    # by the round-3 stall attribution: the SAME network descends steadily
+    # with the attention residual bypassed (PARITY_RESULTS.md diagnosis).
+    # Default False = the reference's Xavier init, golden-matched.
+    attn_zero_init: bool = False
     # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
     depth_invalid_thresh: float = 0.01
     depth_fallback: float = 0.5
@@ -124,6 +132,10 @@ class CrossModalAttention(nn.Module):
     dim: int = 2048
     num_heads: int = 8
     dropout: float = 0.1
+    # zero-init the out_proj kernel: the attention residual starts at
+    # identity (see PoseNetConfig.attn_zero_init). Shape-preserving, so
+    # checkpoints and the torch weight converter are unaffected.
+    out_zero_init: bool = False
 
     @nn.compact
     def __call__(self, rgb_feat, depth_feat, train: bool = False):
@@ -137,7 +149,9 @@ class CrossModalAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhg,bgd->bhd", attn, v).reshape(B, self.dim)
-        return nn.Dense(self.dim, name="out_proj")(out)
+        out_init = (nn.initializers.zeros if self.out_zero_init
+                    else nn.linear.default_kernel_init)
+        return nn.Dense(self.dim, kernel_init=out_init, name="out_proj")(out)
 
 
 class ZBackbone(nn.Module):
@@ -232,9 +246,9 @@ class PoseNet(nn.Module):
             rgb_feat = nn.LayerNorm(name="rgb_norm")(rgb_feat)
             depth_feat = nn.LayerNorm(name="depth_norm")(depth_feat)
             if cfg.fusion_attention:
-                rgb_enh = rgb_feat + CrossModalAttention(name="cross_attention")(
-                    rgb_feat, depth_feat, train=train
-                )
+                rgb_enh = rgb_feat + CrossModalAttention(
+                    out_zero_init=cfg.attn_zero_init, name="cross_attention"
+                )(rgb_feat, depth_feat, train=train)
             else:  # ablation: plain concat fusion, no attention residual
                 rgb_enh = rgb_feat
             combined = jnp.concatenate([rgb_enh, depth_feat], axis=-1)  # [B, 4096]

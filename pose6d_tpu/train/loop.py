@@ -49,6 +49,9 @@ class TrainConfig:
     # variants) and the rgbd no-attention concat-fusion probe
     rot_head_wide: bool = False
     fusion_attention: bool = True
+    # rgbd training fix (opt-in, shape-preserving): zero-init the attention
+    # out_proj so the residual starts at identity (PoseNetConfig.attn_zero_init)
+    attn_zero_init: bool = False
     # mixed-precision training: "bfloat16" runs the model's compute in bf16
     # while params / optimizer state / BN running stats / loss stay f32
     # (standard TPU recipe). On v5e the default-f32 train step measures
@@ -176,7 +179,8 @@ def create_train_state(
     model = model or PoseNet(PoseNetConfig(variant=cfg.variant, img_size=cfg.img_size,
                                        dtype=jnp.dtype(cfg.compute_dtype).type,
                                        rot_head_wide=cfg.rot_head_wide,
-                                       fusion_attention=cfg.fusion_attention))
+                                       fusion_attention=cfg.fusion_attention,
+                                       attn_zero_init=cfg.attn_zero_init))
     S = cfg.img_size
     dummy = {
         "rgb": jnp.zeros((2, S, S, 3)),

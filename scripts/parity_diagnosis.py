@@ -37,6 +37,7 @@ def main():
     base = row("rgbd")
     wide = row("rgbd_widehead")
     noattn = row("rgbd_noattn")
+    zeroattn = row("rgbd_zeroattn")
 
     def fmt(r, note):
         if r is None:
@@ -58,7 +59,20 @@ def main():
 
     na_acc, na_be, na_er, na_fl = noattn if noattn else (0, "?", "?", 0)
     base_fl = base[3] if base else 0
-    text = f"""## The rgbd fusion stall: attention, not capacity, not gradients
+    za_block = ""
+    if zeroattn:
+        za_acc, za_be, za_er, za_fl = zeroattn
+        za_block = (
+            "- **Initialization is ruled out too**: a run with the attention "
+            "KEPT but its out_proj zero-initialized — training starts at "
+            "EXACTLY the concat-fusion function (`parity_run.py "
+            "--attn-zero-init`, init equality pinned by "
+            "`tests/test_posenet.py`) — falls back onto the SAME plateau "
+            f"(best {za_acc:.2f}%, final loss {za_fl:.3f} over {za_er} "
+            "epochs). The moment the residual opens, optimization stalls: "
+            "the pathology is the attention pathway's training DYNAMICS "
+            "under this recipe, not its starting basin.\n")
+    text = f"""## The rgbd fusion stall: attention dynamics — not capacity, gradients, or init
 
 Round 2 left the rgbd fusion variant unexplained: worst fixture learner
 (4.46% val ADD-0.1d) even though it BEATS rgb on the reference's real data
@@ -66,7 +80,7 @@ Round 2 left the rgbd fusion variant unexplained: worst fixture learner
 
 | rgbd configuration | best val ADD-0.1d | epochs run | final train loss |
 |---|---|---|---|
-{fmt(base, "reference architecture")}{fmt(wide, "+ wide rotation head")}{fmt(noattn, "− CrossModalAttention (concat fusion)")}
+{fmt(base, "reference architecture")}{fmt(wide, "+ wide rotation head")}{fmt(noattn, "− CrossModalAttention (concat fusion)")}{fmt(zeroattn, "attention kept, out_proj zero-init (starts at concat)")}
 - **Head capacity is ruled out**: the wide-head swap that accelerates
   rgbd_geometric ~11x (ablation section) does nothing for rgbd — same
   ~0.6 loss plateau, LR halvings included.
@@ -77,7 +91,7 @@ Round 2 left the rgbd fusion variant unexplained: worst fixture learner
   ends at train loss {na_fl:.3f} vs the base architecture's {base_fl:.3f}
   plateau, with best val {na_acc:.2f}% at epoch {na_be} ({na_acc / max(base[0], 1e-9):.1f}x
   the base best).
-- **The no-attention run also restores the reference's variant ordering**:
+{za_block}- **The no-attention run also restores the reference's variant ordering**:
   rgbd(noattn) {na_acc:.1f}% > rgb 6.9% on the fixture, matching the
   reference's real-data rgbd > rgb (21.20 > 13.35) — the remaining gap to
   the geometric variants is the learned-translation xy information bound

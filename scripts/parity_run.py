@@ -126,6 +126,10 @@ def main():
     # under weights_rgbd_noattn)
     ap.add_argument("--no-fusion-attention", dest="fusion_attention",
                     action="store_false", default=True)
+    # rgbd training fix probe: attention ACTIVE but out_proj zero-init, so
+    # optimization starts from the concat-fusion landscape the no-attention
+    # ablation showed to be well-conditioned (weights_rgbd_zeroattn)
+    ap.add_argument("--attn-zero-init", action="store_true")
     # round-3 default: decode the train split once into HBM and crop on the
     # MXU inside the train step (train/loop.expand_device_batch) — removes
     # the ~1% MFU host wall measured in round 2 (PERF.md). Validation keeps
@@ -174,6 +178,7 @@ def main():
     for variant in args.variants:
         name = (variant + ("_widehead" if args.rot_head_wide else "")
                 + ("" if args.fusion_attention else "_noattn")
+                + ("_zeroattn" if args.attn_zero_init else "")
                 + ("_bf16" if args.bf16 else ""))
         save_dir = os.path.join(args.workdir, f"weights_{name}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
@@ -181,6 +186,7 @@ def main():
                          augment=AugmentConfig(grayscale_p=0.0),
                          rot_head_wide=args.rot_head_wide,
                          fusion_attention=args.fusion_attention,
+                         attn_zero_init=args.attn_zero_init,
                          compute_dtype="bfloat16" if args.bf16 else "float32")
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")

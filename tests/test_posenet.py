@@ -179,3 +179,34 @@ def test_rgbd_widehead_and_noattn_ablations():
     assert "cross_attention" not in v2["params"]
     rot2, trans2 = m2.apply(v2, rgb, depth=depth)
     assert np.all(np.isfinite(np.asarray(rot2))) and rot2.shape == (2, 4)
+
+
+def test_rgbd_attn_zero_init_starts_at_concat_baseline():
+    """attn_zero_init: the CrossModalAttention out_proj kernel is zeros, so
+    at initialization the attention residual is exactly identity — the rgbd
+    forward must MATCH the no-attention (concat fusion) ablation given the
+    same downstream parameters. Shapes are unchanged (checkpoint/converter
+    compatible)."""
+    from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
+
+    rgb = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    depth = jax.random.normal(jax.random.key(2), (2, 32, 32, 1))
+
+    m = PoseNet(PoseNetConfig(variant="rgbd", img_size=32, attn_zero_init=True))
+    v = m.init(jax.random.key(0), rgb, depth=depth)
+    p = v["params"]
+    assert np.all(np.asarray(p["cross_attention"]["out_proj"]["kernel"]) == 0)
+    # same param SHAPES as the reference init (golden/converter compatible)
+    m_ref = PoseNet(PoseNetConfig(variant="rgbd"))
+    v_ref = m_ref.init(jax.random.key(0), rgb, depth=depth)
+    assert jax.tree.structure(v) == jax.tree.structure(v_ref)
+
+    rot, trans = m.apply(v, rgb, depth=depth)
+    # graft the non-attention params into the noattn architecture: outputs
+    # must be identical because the zero-init residual contributes nothing
+    m_na = PoseNet(PoseNetConfig(variant="rgbd", fusion_attention=False))
+    p_na = {k: p[k] for k in p if k != "cross_attention"}
+    v_na = {"params": p_na, "batch_stats": v["batch_stats"]}
+    rot_na, trans_na = m_na.apply(v_na, rgb, depth=depth)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(rot_na), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(trans_na), atol=1e-6)
