@@ -75,11 +75,11 @@ def _timed_chain(pipe, frames, K, n_iters):
     depth = jnp.zeros(frames.shape[:3], jnp.float32)
 
     @jax.jit
-    def run_n(yv, pv, fr, K, depth):
+    def run_n(yv, pv, fr, K, depth, q):
         def body(i, carry):
             # data dependency: perturb the input with the previous output
             fr_i = fr + carry
-            out = pipe._run_impl(yv, pv, fr_i, K, depth)
+            out = pipe._run_impl(yv, pv, fr_i, K, depth, q)
             return (jnp.sum(out["translation"]) > -1e9).astype(jnp.uint8)
 
         c = jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
@@ -87,10 +87,13 @@ def _timed_chain(pipe, frames, K, n_iters):
 
     # warm-up MUST be fetched: on lazy remote backends compile+execute only
     # happen when a result is actually materialized (block_until_ready is
-    # not sufficient)
-    _ = np.asarray(run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth))
+    # not sufficient). The quantized trees (int8 mode) ride as jit ARGUMENTS
+    # like the model variables — closed-over they would embed as literals.
+    args = (pipe.yolo_variables, pipe.pose_variables, frames, K, depth,
+            pipe._quantized)
+    _ = np.asarray(run_n(*args))
     t0 = time.perf_counter()
-    c = run_n(pipe.yolo_variables, pipe.pose_variables, frames, K, depth)
+    c = run_n(*args)
     _ = np.asarray(c)  # tiny fetch forces completion of the whole chain
     return time.perf_counter() - t0
 
@@ -163,10 +166,18 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
 
 
-def bench_e2e(batch_size=128, chain=200, variant="rgb"):
+def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False):
     import sys
 
     pipe, frames, K = _build_pipeline(batch_size, variant)
+    if int8_backbone:
+        # int8 serving mode: PTQ the ResNet towers AND the detector
+        # (ops/quant.py, models/yolo/quant.py). Random weights make the
+        # ACCURACY of this mode meaningless here (that gate is
+        # scripts/eval_e2e.py --int8-backbone on trained checkpoints);
+        # throughput is weight-independent.
+        pipe.quantize_backbones(np.asarray(frames), np.asarray(K),
+                                include_detector=True)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
     dt = tn - t1
@@ -190,6 +201,17 @@ def main():
     # flagship: rgbd (dual-ResNet50 + cross-modal fusion — __graft_entry__'s
     # entry() model); shorter chain, the model is ~2x the compute
     rgbd_fps, rgbd_method = bench_e2e(chain=100, variant="rgbd")
+    # int8 serving mode (towers + detector PTQ on the int8 MXU path) —
+    # reported as a separate labeled field, never the headline; the
+    # accuracy gate for this mode is in PARITY_RESULTS.md (eval_e2e
+    # --int8-backbone: accuracy-neutral on the trained fixture system).
+    # POSE6D_BENCH_INT8=0 skips it.
+    extra = {}
+    if int(os.environ.get("POSE6D_BENCH_INT8", "1")):
+        i8_fps, i8_method = bench_e2e(chain=100, variant="rgbd",
+                                      int8_backbone=True)
+        extra = {"rgbd_int8_value": round(i8_fps, 1),
+                 "rgbd_int8_method": i8_method}
     print(
         json.dumps(
             {
@@ -197,6 +219,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                **extra,
                 "method": method,
                 "rgbd_value": round(rgbd_fps, 1),
                 "rgbd_method": rgbd_method,

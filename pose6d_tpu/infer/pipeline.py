@@ -103,6 +103,8 @@ class PosePipeline:
         # inhibit buffer aliasing (measured ~40% of e2e time)
         self._run = jax.jit(self._run_impl)
         self._input_sharding = None
+        # int8 serving mode (quantize_backbones): {tower_name: int8 tree}
+        self._quantized = {}
 
     def shard(self, mesh) -> "PosePipeline":
         """Distribute inference over a device mesh: frames batch-sharded over
@@ -122,9 +124,100 @@ class PosePipeline:
         )
         return self
 
+    def quantize_backbones(self, calib_frames, calib_K, calib_depth=None,
+                           percentile: float | None = None,
+                           include_detector: bool = False):
+        """Enable the int8 serving mode: run the FLOAT pipeline once on
+        representative frames to harvest each tower's actual input crops,
+        calibrate static activation scales on them, and quantize every
+        ResNet tower to per-channel int8 (ops/quant.py). Subsequent calls
+        run the towers s8 x s8 -> s32 on the MXU (~2x bf16 rate on v5e).
+        The float path is untouched until this is called; call with the
+        same batch size you will serve (the jit re-traces). Returns self."""
+        import numpy as np
+
+        from ..models.posenet_serving import serving_forward  # noqa: F401 (doc)
+        from ..ops.quant import quantize_resnet_from_variables
+
+        # harvest tower inputs by re-running the crop stages on host-side
+        # jitted graph: easiest exact source is the float pipeline's own
+        # intermediate — recompute crops with the public crop path
+        frames = jnp.asarray(calib_frames)
+        camera_K = jnp.asarray(calib_K)
+        if camera_K.ndim == 2:
+            camera_K = jnp.broadcast_to(camera_K, (frames.shape[0],) + camera_K.shape)
+        depth = (jnp.asarray(calib_depth) if calib_depth is not None
+                 else jnp.zeros(frames.shape[:3], jnp.float32))
+        crops, depth_norm = jax.jit(self._calib_crops)(
+            self.yolo_variables, frames, depth
+        )
+
+        towers = ({"rgb": "rgb_backbone", "depth": "depth_backbone"}
+                  if self.cfg.variant == "rgbd" else {"rgb": "backbone"})
+        q = {}
+        for src, name in towers.items():
+            x = crops if src == "rgb" else depth_norm
+            tower_vars = {
+                "params": self.pose_variables["params"][name],
+                "batch_stats": self.pose_variables["batch_stats"][name],
+            }
+            q[name] = quantize_resnet_from_variables(
+                tower_vars, [np.asarray(x, np.float32)], percentile)
+        if include_detector:
+            # detector PTQ calibrates on the exact canvas the detect stage
+            # consumes (native-res frames/255, or the centered letterbox)
+            from ..models.yolo.quant import quantize_yolo_from_variables
+
+            canvas = jax.jit(
+                lambda fr: self._letterbox(fr.astype(jnp.float32) / 255.0)[0]
+            )(frames)
+            q["__yolo__"] = quantize_yolo_from_variables(
+                self.yolo_variables, self.yolo_cfg,
+                [np.asarray(canvas, np.float32)])
+        self._quantized = q
+        return self
+
+    def _calib_crops(self, yolo_variables, frames, depth_raw_full):
+        """Replicate the pipeline's crop stage to harvest calibration
+        inputs (RGB crops after eval_preprocess; normalized depth crops)."""
+        cfg = self.cfg
+        S = cfg.img_size
+        frames_norm = frames.astype(jnp.float32) / 255.0
+        bbox_xywh, _ = self._detect_best(yolo_variables, frames_norm)
+        bbox = bbox_xywh[:, 0]
+        cx1, cy1, csize = crop_params_from_bbox(bbox)
+        crops = crop_resize_matmul(frames_norm, cx1, cy1, csize, S,
+                                   compute_dtype=jnp.float32)
+        crops = eval_preprocess(crops)
+        dcrop = crop_resize_matmul(
+            depth_raw_full[..., None], cx1, cy1, csize, S,
+            compute_dtype=jnp.float32)[..., 0]
+        dn = (dcrop - DEPTH_MIN_M) / (DEPTH_MAX_M - DEPTH_MIN_M)
+        dn = jnp.clip(dn, 0.0, 1.0)
+        dn = jnp.where(dcrop < DEPTH_INVALID_M, 0.0, dn)
+        return crops, dn[..., None]
+
     # ------------------------------------------------------------------ core
 
-    def _detect_best(self, yolo_variables, frames_norm):
+    def _letterbox(self, frames_norm):
+        """Detector input canvas: native resolution when dims divide the
+        coarsest stride, else the standard centered letterbox at det_size.
+        Returns (canvas, scale, pad_l, pad_t, det_hw)."""
+        B, H, W, _ = frames_norm.shape
+        stride = max(self.yolo_cfg.strides)
+        if H % stride == 0 and W % stride == 0:
+            return frames_norm, 1.0, 0, 0, (H, W)
+        D = self.cfg.det_size
+        scale = min(D / W, D / H)
+        nh, nw = int(round(H * scale)), int(round(W * scale))
+        pad_t = (D - nh) // 2
+        pad_l = (D - nw) // 2
+        resized = jax.image.resize(frames_norm, (B, nh, nw, 3), "bilinear")
+        canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_norm.dtype)
+        canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
+        return canvas, scale, pad_l, pad_t, (D, D)
+
+    def _detect_best(self, yolo_variables, frames_norm, yolo_q=None):
         """YOLO -> NMS -> best box per image, in original-frame coordinates.
 
         When the frame dims divide the coarsest stride (LineMOD 640x480
@@ -132,24 +225,16 @@ class PosePipeline:
         no letterbox canvas, no coordinate unmapping, ~25% fewer conv FLOPs
         and two full-frame copies saved. Otherwise falls back to the
         standard centered letterbox at det_size."""
-        B, H, W, _ = frames_norm.shape
-        stride = max(self.yolo_cfg.strides)
-        if H % stride == 0 and W % stride == 0:
-            scale, pad_l, pad_t = 1.0, 0, 0
-            canvas = frames_norm
-            det_hw = (H, W)
-        else:
-            D = self.cfg.det_size
-            scale = min(D / W, D / H)
-            nh, nw = int(round(H * scale)), int(round(W * scale))
-            pad_t = (D - nh) // 2
-            pad_l = (D - nw) // 2
-            resized = jax.image.resize(frames_norm, (B, nh, nw, 3), "bilinear")
-            canvas = jnp.full((B, D, D, 3), 114.0 / 255.0, frames_norm.dtype)
-            canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, pad_t, pad_l, 0))
-            det_hw = (D, D)
+        canvas, scale, pad_l, pad_t, det_hw = self._letterbox(frames_norm)
 
-        outputs = self.yolo.apply(yolo_variables, canvas)
+        if yolo_q is not None:
+            # int8 serving mode for the detector (models/yolo/quant.py)
+            from ..models.yolo.quant import yolo_int8_forward
+
+            outputs = yolo_int8_forward(yolo_q, self.yolo_cfg, canvas,
+                                        compute_dtype=self.cfg.compute_dtype)
+        else:
+            outputs = self.yolo.apply(yolo_variables, canvas)
         # fused decode: top-k preselect BEFORE the DFL box decode — same
         # results, full-field softmax-expectation work dropped (decode.py)
         dets = decode_topk_nms(
@@ -168,7 +253,8 @@ class PosePipeline:
         bbox_xywh = jnp.stack([x1, y1, x2 - x1, y2 - y1], axis=-1)  # [B, D, 4]
         return bbox_xywh, dets
 
-    def _run_impl(self, yolo_variables, pose_variables, frames, camera_K, depth_raw_full):
+    def _run_impl(self, yolo_variables, pose_variables, frames, camera_K,
+                  depth_raw_full, quantized):
         cfg = self.cfg
         S = cfg.img_size
         # normalize straight into the compute dtype: the uint8 -> f32 full
@@ -186,7 +272,8 @@ class PosePipeline:
         B = frames.shape[0]
         M = cfg.max_objects
 
-        all_bbox_xywh, dets = self._detect_best(yolo_variables, frames_norm)
+        all_bbox_xywh, dets = self._detect_best(
+            yolo_variables, frames_norm, quantized.get("__yolo__"))
         # top-M score-ordered detections per frame, flattened to a [B*M]
         # pose batch (the reference's per-box Python loop, vectorized:
         # inference_rgb.py:70)
@@ -270,7 +357,18 @@ class PosePipeline:
                 kwargs["bbox_center"] = center_crop
                 kwargs["camera_matrix"] = K_crop
 
-        rot, trans = self.posenet.apply(pose_variables, **kwargs)
+        if quantized:
+            # int8 serving mode: the ResNet towers run s8 x s8 -> s32 on the
+            # MXU (ops/quant.py) through the head-equality-tested serving
+            # forward (models/posenet_serving.py)
+            from ..models.posenet_serving import serving_forward
+
+            rot, trans = serving_forward(
+                pose_variables, self.pose_cfg, quantized=quantized,
+                compute_dtype=cfg.compute_dtype, **kwargs,
+            )
+        else:
+            rot, trans = self.posenet.apply(pose_variables, **kwargs)
         rot = rot.astype(jnp.float32)
         trans = trans.astype(jnp.float32)
 
@@ -318,5 +416,5 @@ class PosePipeline:
             )
         return self._run(
             self.yolo_variables, self.pose_variables, frames, camera_K,
-            depth_raw_full,
+            depth_raw_full, self._quantized,
         )

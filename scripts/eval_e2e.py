@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--no-fusion-attention", dest="fusion_attention",
                     action="store_false", default=True,
                     help="evaluate a weights dir trained with the rgbd no-attention ablation")
+    ap.add_argument("--int8-backbone", action="store_true",
+                    help="int8 PTQ serving mode (ops/quant.py): quantize the "
+                         "ResNet towers on the first batch (calibration) and "
+                         "evaluate the quantized system — the accuracy gate "
+                         "for the bench's POSE6D_BENCH_INT8 throughput mode")
     args = ap.parse_args()
 
     import cv2
@@ -86,6 +91,7 @@ def main():
     B = args.batch_size
     tot = {"add": 0.0, "add_s": 0.0, "acc": 0.0, "n_batches": 0,
            "detected": 0, "cls_correct": 0, "n": 0}
+    calibrated = not args.int8_backbone
     for start in range(0, len(samples), B):
         chunk = samples[start : start + B]
         frames, depths, gt_q, gt_t, gt_ids = [], [], [], [], []
@@ -101,6 +107,11 @@ def main():
             gt_ids.append(s.obj_id)
 
         K = np.stack([s.cam_K for s in chunk]).astype(np.float32)
+        if not calibrated:
+            # first batch doubles as the PTQ calibration set (towers + detector)
+            pipe.quantize_backbones(np.stack(frames), K, np.stack(depths),
+                                    include_detector=True)
+            calibrated = True
         out = pipe(np.stack(frames), K, np.stack(depths))
         det_valid = np.asarray(out["det_valid"])
         pred_cls = np.asarray(out["class_id"])

@@ -158,3 +158,39 @@ def test_sharded_pipeline_matches_single_device(frames, K):
         np.testing.assert_allclose(
             np.asarray(out[k]), ref[k], rtol=1e-3, atol=1e-4, err_msg=k
         )
+
+
+def test_int8_backbone_pipeline(frames, K):
+    """quantize_backbones flips the pose towers to the int8 serving path;
+    the pipeline still runs end-to-end and its outputs stay close to the
+    float pipeline's (same detector, same crops, PTQ towers)."""
+    pipe = _make_pipeline("rgbd")
+    depth = np.random.default_rng(3).uniform(
+        0.2, 1.5, size=frames.shape[:3]).astype(np.float32)
+    out_f = pipe(frames, K, depth)
+    pipe.quantize_backbones(frames, K, depth)
+    assert set(pipe._quantized) == {"rgb_backbone", "depth_backbone"}
+    out_q = pipe(frames, K, depth)
+    # identical detector path -> identical boxes
+    np.testing.assert_allclose(np.asarray(out_q["bbox_xywh"]),
+                               np.asarray(out_f["bbox_xywh"]), atol=1e-5)
+    rot_f = np.asarray(out_f["rotation"])
+    rot_q = np.asarray(out_q["rotation"])
+    assert np.all(np.abs(np.sum(rot_f * rot_q, axis=-1)) > 0.9)
+    assert np.all(np.isfinite(np.asarray(out_q["translation"])))
+
+
+def test_int8_detector_pipeline(frames, K):
+    """include_detector=True also PTQs the YOLO graph; the pipeline still
+    produces finite poses and plausible boxes."""
+    pipe = _make_pipeline("rgb")
+    out_f = pipe(frames, K)
+    pipe.quantize_backbones(frames, K, include_detector=True)
+    assert "__yolo__" in pipe._quantized
+    out_q = pipe(frames, K)
+    assert np.all(np.isfinite(np.asarray(out_q["rotation"])))
+    assert np.all(np.isfinite(np.asarray(out_q["bbox_xywh"])))
+    # random-weight logits are near-flat, so boxes can move under PTQ noise;
+    # shape/finite checks + the trained-weight accuracy gate (eval_e2e
+    # --int8-backbone) carry the correctness burden
+    assert out_q["rotation"].shape == out_f["rotation"].shape
