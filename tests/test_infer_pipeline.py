@@ -180,6 +180,34 @@ def test_int8_backbone_pipeline(frames, K):
     assert np.all(np.isfinite(np.asarray(out_q["translation"])))
 
 
+def test_sharded_int8_pipeline(frames, K):
+    """int8 serving mode composed with mesh sharding: the quantized trees
+    ride as (replicated) jit arguments while frames stay batch-sharded —
+    outputs must match the same quantized pipeline run unsharded."""
+    from pose6d_tpu.parallel import make_mesh
+
+    r = np.random.default_rng(4)
+    frames8 = r.integers(0, 255, size=(8, 96, 128, 3), dtype=np.uint8)
+    depth8 = r.uniform(0.2, 1.5, size=frames8.shape[:3]).astype(np.float32)
+
+    pipe = _make_pipeline("rgbd")
+    pipe.quantize_backbones(frames8, K, depth8)
+    ref = {k: np.asarray(v) for k, v in pipe(frames8, K, depth8).items()
+           if k != "detections"}
+
+    sharded = _make_pipeline("rgbd")
+    sharded.yolo_variables = pipe.yolo_variables
+    sharded.pose_variables = pipe.pose_variables
+    sharded = sharded.shard(make_mesh((4, 2)))
+    sharded._quantized = pipe._quantized  # same calibration, same trees
+    out = sharded(frames8, K, depth8)
+    assert len(out["rotation"].sharding.device_set) == 8
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref[k], rtol=1e-3, atol=1e-4, err_msg=k
+        )
+
+
 def test_int8_detector_pipeline(frames, K):
     """include_detector=True also PTQs the YOLO graph; the pipeline still
     produces finite poses and plausible boxes."""
