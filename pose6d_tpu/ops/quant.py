@@ -118,20 +118,6 @@ def _conv_f32(x, w, b, stride=1, padding=None):
     return y + b
 
 
-def _conv_int8(x, e, stride=1, padding=None, compute_dtype=jnp.float32):
-    """Quantize x with the static scale, run the s8 conv, requantize."""
-    inv = 1.0 / e["a"]
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
-    y = lax.conv_general_dilated(
-        xq, e["w"], (stride, stride),
-        padding if padding is not None else "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32,
-    )
-    return (y.astype(compute_dtype) * (e["a"] * e["s"]).astype(compute_dtype)
-            + e["b"].astype(compute_dtype))
-
-
 def _resnet_structure():
     """Yield (name, stride, padding) for every conv in forward order, with
     block boundaries expressed by the caller's loop (mirrors resnet.py)."""
@@ -168,24 +154,66 @@ def folded_resnet50_forward(folded: Dict, x, observer=None):
 
 def int8_resnet50_forward(q: Dict, x, compute_dtype=jnp.float32):
     """The int8 serving forward: every conv runs s8 x s8 -> s32 on the MXU;
-    requantize/relu/residual ride the VPU in compute_dtype."""
+    requantize/relu/residual ride the VPU in compute_dtype.
 
-    def conv(name, x, stride=1, padding=None):
-        return _conv_int8(x, q[name], stride, padding, compute_dtype)
+    int8-RESIDENT design (measured on v5e, scripts/probe_int8_variants.py,
+    batch 128): block activations live ONLY as int8 — each epilogue
+    requantizes straight to the next consumer's calibrated scale, and the
+    identity-residual add uses the dequantized int8 tensor. That halves the
+    materialized activation bytes vs keeping a float copy at every block
+    boundary and cut the tower from 7.10 ms (float-resident) to 5.89 ms
+    (1.49x the 8.78 ms bf16 tower). The residual dequantization adds ~0.3%
+    relative output drift vs the float-resident int8 forward; the
+    system-level gate is scripts/eval_e2e.py --int8-backbone on trained
+    checkpoints. Epilogue math runs in compute_dtype (bf16 in serving —
+    f32 epilogues measured 1.2 ms slower)."""
+    cd = compute_dtype
 
-    x = conv("conv1", x, 2, [(3, 3), (3, 3)])
-    x = jax.nn.relu(x)
-    x = nn_max_pool(x)
-    for i, j, stride in _resnet_structure():
+    def conv_s32(xq, e, stride=1, padding=None):
+        return lax.conv_general_dilated(
+            xq, e["w"], (stride, stride),
+            padding if padding is not None else "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+
+    def quant(x, a):
+        return jnp.clip(jnp.round(x.astype(cd) * (1.0 / a).astype(cd)),
+                        -127, 127).astype(jnp.int8)
+
+    def deq(y, e, a_in):
+        return (y.astype(cd) * (a_in * e["s"]).astype(cd)
+                + e["b"].astype(cd))
+
+    e1 = q["conv1"]
+    xq = quant(x, e1["a"])
+    y = jax.nn.relu(deq(conv_s32(xq, e1, 2, [(3, 3), (3, 3)]), e1, e1["a"]))
+    xf = nn_max_pool(y)
+    blocks = list(_resnet_structure())
+    a_in = q["layer1_0/conv1"]["a"]
+    xq = quant(xf, a_in)
+    for idx, (i, j, stride) in enumerate(blocks):
         blk = f"layer{i + 1}_{j}"
-        r = x
-        y = jax.nn.relu(conv(f"{blk}/conv1", x))
-        y = jax.nn.relu(conv(f"{blk}/conv2", y, stride, [(1, 1), (1, 1)]))
-        y = conv(f"{blk}/conv3", y)
+        c1, c2, c3 = q[f"{blk}/conv1"], q[f"{blk}/conv2"], q[f"{blk}/conv3"]
+        y = jax.nn.relu(deq(conv_s32(xq, c1), c1, a_in))
+        yq = quant(y, c2["a"])
+        y = jax.nn.relu(deq(conv_s32(yq, c2, stride, [(1, 1), (1, 1)]),
+                            c2, c2["a"]))
+        yq = quant(y, c3["a"])
+        y = deq(conv_s32(yq, c3), c3, c3["a"])
         if f"{blk}/downsample" in q:
-            r = conv(f"{blk}/downsample", r, stride)
-        x = jax.nn.relu(y + r)
-    return jnp.mean(x, axis=(1, 2))
+            # shares xq with conv1, so the dequant scale is a_in (the scale
+            # xq was actually quantized with), not the entry's own "a"
+            ed = q[f"{blk}/downsample"]
+            r = deq(conv_s32(xq, ed, stride), ed, a_in)
+        else:
+            r = xq.astype(cd) * a_in.astype(cd)  # dequantized residual
+        xf = jax.nn.relu(y + r)
+        if idx + 1 < len(blocks):
+            ni, nj, _ = blocks[idx + 1]
+            a_in = q[f"layer{ni + 1}_{nj}/conv1"]["a"]
+            xq = quant(xf, a_in)
+    return jnp.mean(xf.astype(jnp.float32), axis=(1, 2)).astype(cd)
 
 
 def nn_max_pool(x):
