@@ -212,6 +212,10 @@ def main():
                                       int8_backbone=True)
         extra = {"rgbd_int8_value": round(i8_fps, 1),
                  "rgbd_int8_method": i8_method}
+        rgb_i8_fps, rgb_i8_method = bench_e2e(chain=100, variant="rgb",
+                                              int8_backbone=True)
+        extra["rgb_int8_value"] = round(rgb_i8_fps, 1)
+        extra["rgb_int8_method"] = rgb_i8_method
     print(
         json.dumps(
             {

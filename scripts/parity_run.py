@@ -134,6 +134,16 @@ def main():
     # MXU inside the train step (train/loop.expand_device_batch) — removes
     # the ~1% MFU host wall measured in round 2 (PERF.md). Validation keeps
     # the host cv2 path, so val metrics stay comparable across rounds.
+    ap.add_argument(
+        "--init-towers-from", default=None,
+        help="Trainer save_dir of a trained donor run; its tower scopes "
+             "(params+batch_stats) are grafted into the fresh init — the "
+             "fixture-native analogue of the reference's ImageNet warm "
+             "start (train/warmstart.py). Run name gets a _warmstart suffix.")
+    ap.add_argument(
+        "--donor-variant", default=None,
+        help="donor run's variant, with parity_run suffixes (e.g. "
+             "rgbd_noattn); defaults to the trained variant itself")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 compute, f32 "
                          "params/loss; val always f32) — TPU throughput A/B")
@@ -179,7 +189,8 @@ def main():
         name = (variant + ("_widehead" if args.rot_head_wide else "")
                 + ("" if args.fusion_attention else "_noattn")
                 + ("_zeroattn" if args.attn_zero_init else "")
-                + ("_bf16" if args.bf16 else ""))
+                + ("_bf16" if args.bf16 else "")
+                + ("_warmstart" if args.init_towers_from else ""))
         save_dir = os.path.join(args.workdir, f"weights_{name}")
         cfg = get_preset(variant, epochs=args.epochs, batch_size=args.batch_size,
                          learning_rate=args.lr, plateau_patience=args.patience,
@@ -196,6 +207,31 @@ def main():
             cache_decoded=True,  # ~4 GB RAM; PNG decode dominates host time
             device_preprocess=args.device_preprocess,
         )
+        if args.init_towers_from:
+            from pose6d_tpu.train.checkpoint import load_model_variables
+            from pose6d_tpu.train.warmstart import graft_towers
+
+            dname = args.donor_variant or variant
+            dbase = dname
+            for suf in ("_noattn", "_widehead", "_zeroattn", "_bf16"):
+                dbase = dbase.replace(suf, "")
+            donor_cfg = get_preset(
+                dbase, batch_size=args.batch_size,
+                rot_head_wide="_widehead" in dname,
+                fusion_attention="_noattn" not in dname,
+                attn_zero_init="_zeroattn" in dname,
+                compute_dtype="bfloat16" if "_bf16" in dname else "float32")
+            donor = load_model_variables(args.init_towers_from, donor_cfg)
+            if donor is None:
+                raise SystemExit(
+                    f"--init-towers-from: no checkpoint in {args.init_towers_from}")
+            new_vars, grafted = graft_towers(
+                {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}, donor)
+            trainer.state = trainer.state.replace(
+                params=new_vars["params"], batch_stats=new_vars["batch_stats"])
+            print(f"[parity] warm-started towers: {grafted} "
+                  f"from {args.init_towers_from}")
         best = trainer.fit(epochs=args.epochs, early_stop_acc=args.early_stop_acc)
         results[name] = summarize_variant(save_dir, best)
         with open(results_path, "w") as f:

@@ -180,6 +180,22 @@ def test_int8_backbone_pipeline(frames, K):
     assert np.all(np.isfinite(np.asarray(out_q["translation"])))
 
 
+def test_int8_backbone_pipeline_rgb(frames, K):
+    """The single-tower rgb variant supports the same int8 serving flip
+    (bench.py reports it as rgb_int8_value); detector PTQ included so the
+    bench configuration is what gets tested."""
+    pipe = _make_pipeline("rgb")
+    out_f = pipe(frames, K)
+    pipe.quantize_backbones(frames, K, include_detector=True)
+    assert set(pipe._quantized) == {"backbone", "__yolo__"}
+    out_q = pipe(frames, K)
+    rot_f = np.asarray(out_f["rotation"])
+    rot_q = np.asarray(out_q["rotation"])
+    assert np.all(np.abs(np.sum(rot_f * rot_q, axis=-1)) > 0.9)
+    assert np.all(np.isfinite(np.asarray(out_q["translation"])))
+    assert np.all(np.isfinite(np.asarray(out_q["bbox_xywh"])))
+
+
 def test_sharded_int8_pipeline(frames, K):
     """int8 serving mode composed with mesh sharding: the quantized trees
     ride as (replicated) jit arguments while frames stay batch-sharded —
