@@ -25,7 +25,7 @@ import numpy as np
 BASELINE_FPS = 5000.0
 
 
-def _build_pipeline(batch_size, variant="rgb"):
+def _build_pipeline(batch_size, variant="rgb", max_objects=1):
     import jax.numpy as jnp
 
     from pose6d_tpu.infer import PipelineConfig, PosePipeline
@@ -49,7 +49,7 @@ def _build_pipeline(batch_size, variant="rgb"):
     # 4x margin over max_det=8 on LineMOD's one-object-per-frame fields
     pipe = PosePipeline(
         PipelineConfig(variant=variant, det_size=640, conf_thresh=0.0,
-                       compute_dtype=jnp.bfloat16,
+                       compute_dtype=jnp.bfloat16, max_objects=max_objects,
                        nms_pre_topk=32 if variant == "rgbd" else 64),
         ycfg, yvars, pvars, pcfg,
     )
@@ -166,10 +166,11 @@ def _sum_of_parts(pipe, frames, K, iters=20):
     return t_conv + t_yolo + t_dec + t_nms + t_crop + t_pose
 
 
-def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False):
+def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
+              max_objects=1):
     import sys
 
-    pipe, frames, K = _build_pipeline(batch_size, variant)
+    pipe, frames, K = _build_pipeline(batch_size, variant, max_objects)
     if int8_backbone:
         # int8 serving mode: PTQ the ResNet towers AND the detector
         # (ops/quant.py, models/yolo/quant.py). Random weights make the
@@ -216,6 +217,21 @@ def main():
                                               int8_backbone=True)
         extra["rgb_int8_value"] = round(rgb_i8_fps, 1)
         extra["rgb_int8_method"] = rgb_i8_method
+    # multi-object serving: max_objects=4 (the reference's inference loops
+    # over every detected box, reference scripts/inference/inference_rgb.py:70
+    # — here all 4 crops ride one batched pose forward inside the same jit).
+    # POSE6D_BENCH_MULTIOBJ=0 skips it.
+    if int(os.environ.get("POSE6D_BENCH_MULTIOBJ", "1")):
+        mo_fps, mo_method = bench_e2e(chain=100, variant="rgb", max_objects=4)
+        extra["rgb_maxobj4_value"] = round(mo_fps, 1)
+        extra["rgb_maxobj4_method"] = mo_method
+    # serving latency at batch 1 (the regime of the reference's "real-time"
+    # claim, reference README.md:5): chained-difference on the bf16 flagship.
+    # POSE6D_BENCH_LATENCY=0 skips it. Full table: scripts/bench_latency.py.
+    if int(os.environ.get("POSE6D_BENCH_LATENCY", "1")):
+        b1_fps, b1_method = bench_e2e(batch_size=1, chain=400, variant="rgbd")
+        extra["latency_ms_b1"] = round(1e3 / b1_fps, 3)
+        extra["latency_ms_b1_method"] = b1_method
     print(
         json.dumps(
             {
@@ -227,6 +243,12 @@ def main():
                 "method": method,
                 "rgbd_value": round(rgbd_fps, 1),
                 "rgbd_method": rgbd_method,
+                # which field answers BASELINE.json's 5,000 fps/chip target:
+                # the bf16 flagship (rgbd_value); *_int8_value rows are the
+                # quantized serving mode, accuracy-gated separately in
+                # PARITY_RESULTS.md (eval_e2e --int8-backbone)
+                "target_fps": BASELINE_FPS,
+                "target_answered_by": "rgbd_value (bf16 flagship)",
             }
         )
     )

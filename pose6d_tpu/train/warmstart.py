@@ -42,10 +42,22 @@ def graft_towers(
         src = scope if scope in donor.get("params", {}) else _ALIASES.get(scope)
         if src is None or src not in donor.get("params", {}):
             continue
-        for coll in ("params", "batch_stats"):
-            if scope in target.get(coll, {}) and src in donor.get(coll, {}):
-                new[coll][scope] = donor[coll][src]
-        grafted.append(f"{scope}<-{src}")
+        # a ResNet tower's params and BN running stats travel together; a
+        # donor supplying one without the other would silently pair trained
+        # convs with fresh (or stale) BN statistics — refuse that graft
+        want = [c for c in ("params", "batch_stats")
+                if scope in target.get(c, {})]
+        have = [c for c in want if src in donor.get(c, {})]
+        if have != want:
+            raise ValueError(
+                f"graft_towers: donor scope '{src}' covers collections "
+                f"{have} but target scope '{scope}' needs {want}; grafting "
+                "params without matching batch_stats (or vice versa) would "
+                "skew any eval of the grafted model"
+            )
+        for coll in want:
+            new[coll][scope] = donor[coll][src]
+        grafted.append(f"{scope}<-{src}[{'+'.join(want)}]")
     if not grafted:
         raise ValueError(
             "graft_towers: no tower scope of the target matches the donor "

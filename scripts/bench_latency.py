@@ -26,6 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _build_pipeline, _timed_chain  # noqa: E402
 
 
+# Minimum measured interval for an honest chained difference (bench.py uses
+# the same floor): below this, tunnel RTT jitter is the same order as the
+# signal and short batch-1 chains can report garbage (or even dt<=0).
+MIN_DT_S = 0.05
+MAX_CHAIN = 3200
+
+
 def measure(variant: str, batch: int, chain: int, int8: bool):
     import numpy as np
 
@@ -33,14 +40,24 @@ def measure(variant: str, batch: int, chain: int, int8: bool):
     if int8:
         pipe.quantize_backbones(np.asarray(frames), np.asarray(K),
                                 include_detector=True)
-    t1 = _timed_chain(pipe, frames, K, 1)
-    tn = _timed_chain(pipe, frames, K, 1 + chain)
-    dt = tn - t1
+    # adaptive chain: grow until the measured interval clears the honesty
+    # floor (fast batch-1 bf16 chains are ~1-2 ms/iter, so a fixed chain
+    # length can undershoot on one variant and waste time on another)
+    while True:
+        t1 = _timed_chain(pipe, frames, K, 1)
+        tn = _timed_chain(pipe, frames, K, 1 + chain)
+        dt = tn - t1
+        if dt >= MIN_DT_S or chain >= MAX_CHAIN:
+            break
+        chain *= 2
+        print(f"[latency] {variant} b{batch}: dt={dt*1e3:.1f} ms below "
+              f"{MIN_DT_S*1e3:.0f} ms floor, growing chain to {chain}",
+              file=sys.stderr)
     if dt <= 0:
-        return float("nan"), float("nan")
+        return None, None, chain
     ms_per_batch = dt / chain * 1e3
     fps = batch * chain / dt
-    return ms_per_batch, fps
+    return ms_per_batch, fps, chain
 
 
 def main():
@@ -60,22 +77,30 @@ def main():
         for B in batches:
             modes = [("bf16", False)] + ([("int8", True)] if args.int8 else [])
             for mode, int8 in modes:
-                ms, fps = measure(variant, B, args.chain, int8)
+                ms, fps, chain = measure(variant, B, args.chain, int8)
+                if ms is None:
+                    # dt<=0 even at MAX_CHAIN: drop the row loudly rather
+                    # than letting a NaN corrupt the JSON line
+                    print(f"[latency] {variant} b{B} {mode}: non-positive "
+                          f"interval at chain {chain}; row dropped",
+                          file=sys.stderr)
+                    continue
                 per_frame = ms / B
                 rows.append({"variant": variant, "batch": B, "mode": mode,
                              "ms_per_batch": round(ms, 3),
                              "ms_per_frame": round(per_frame, 3),
-                             "fps": round(fps, 1)})
+                             "fps": round(fps, 1), "chain": chain})
                 print(f"[latency] {variant} b{B} {mode}: {ms:.3f} ms/batch "
-                      f"({per_frame:.3f} ms/frame, {fps:.1f} fps)",
-                      file=sys.stderr)
+                      f"({per_frame:.3f} ms/frame, {fps:.1f} fps, "
+                      f"chain {chain})", file=sys.stderr)
 
     print("| variant | batch | mode | ms/batch | ms/frame | fps |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['variant']} | {r['batch']} | {r['mode']} | "
               f"{r['ms_per_batch']} | {r['ms_per_frame']} | {r['fps']} |")
-    print(json.dumps({"metric": "serving_latency", "rows": rows}))
+    print(json.dumps({"metric": "serving_latency", "rows": rows},
+                     allow_nan=False))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,9 @@ def main():
         "--variants", nargs="+",
         default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"],
     )
+    ap.add_argument("--json-out", default=None,
+                    help="also write per-variant metrics as JSON (consumed "
+                         "by scripts/reproduce_reference.sh's parity gate)")
     args = ap.parse_args()
 
     from pose6d_tpu.configs.presets import get_preset
@@ -99,6 +102,13 @@ def main():
         )
     best = max(results, key=lambda v: results[v]["add_01d_acc"])
     print(f"\nBest model: {best} (ADD-0.1d: {results[best]['add_01d_acc']:.2f}%)")
+
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -207,7 +207,15 @@ def main():
             cache_decoded=True,  # ~4 GB RAM; PNG decode dominates host time
             device_preprocess=args.device_preprocess,
         )
-        if args.init_towers_from:
+        if args.init_towers_from and (trainer.ckpt.has_checkpoint()
+                                      or trainer.ckpt.has_checkpoint("best")):
+            # fit() will try_resume() from save_dir, overwriting any graft we
+            # apply now — the warm start already happened in the run that
+            # created that checkpoint. Grafting again (and claiming so in the
+            # log) would misstate what this process's init actually was.
+            print(f"[parity] {save_dir} already has a checkpoint; resuming "
+                  "it — tower graft skipped (already applied at run start)")
+        elif args.init_towers_from:
             from pose6d_tpu.train.checkpoint import load_model_variables
             from pose6d_tpu.train.warmstart import graft_towers
 

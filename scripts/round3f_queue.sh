@@ -19,11 +19,24 @@ Q() {
   name="$1"; shift
   echo "=== $(date -u +%H:%M:%S) queue: $name ==="
   timeout 7200 python "$@" >"parity_ws/logs/$name.log" 2>&1
-  echo "=== $(date -u +%H:%M:%S) done: $name (exit $?) ==="
+  rc=$?
+  echo "=== $(date -u +%H:%M:%S) done: $name (exit $rc) ==="
+  return $rc
 }
 
 Q donor_rgbd_noattn scripts/parity_run.py --workdir /root/repo/parity_ws \
   --variants rgbd --no-fusion-attention --epochs 75
+donor_rc=$?
+
+# The warm-start arm is only meaningful with a fully trained donor: if the
+# donor step failed or timed out mid-training, load_model_variables would
+# silently fall back to a barely-trained 'last' checkpoint and the
+# pretrained-basin experiment would produce a misleading negative result.
+if [ $donor_rc -ne 0 ] || [ ! -d parity_ws/weights_rgbd_noattn/best ]; then
+  echo "ABORT: donor run failed (exit $donor_rc) or no 'best' checkpoint at"
+  echo "       parity_ws/weights_rgbd_noattn/best — warm-start arm skipped."
+  exit 1
+fi
 
 Q rgbd_warmstart scripts/parity_run.py --workdir /root/repo/parity_ws \
   --variants rgbd --epochs 75 \

@@ -32,8 +32,10 @@ def test_graft_dual_tower_donor():
     target = _variables("rgbd", seed=0)
     donor = _variables("rgbd", seed=1, fusion_attention=False)
     new, grafted = graft_towers(target, donor)
-    assert sorted(grafted) == ["depth_backbone<-depth_backbone",
-                               "rgb_backbone<-rgb_backbone"]
+    assert sorted(grafted) == [
+        "depth_backbone<-depth_backbone[params+batch_stats]",
+        "rgb_backbone<-rgb_backbone[params+batch_stats]",
+    ]
     for scope in ("rgb_backbone", "depth_backbone"):
         for coll in ("params", "batch_stats"):
             assert _trees_equal(new[coll][scope], donor[coll][scope]), (coll, scope)
@@ -54,7 +56,7 @@ def test_graft_single_tower_alias():
     target = _variables("rgbd", seed=0)
     donor = _variables("rgb", seed=2)
     new, grafted = graft_towers(target, donor)
-    assert grafted == ["rgb_backbone<-backbone"]
+    assert grafted == ["rgb_backbone<-backbone[params+batch_stats]"]
     assert _trees_equal(new["params"]["rgb_backbone"],
                         donor["params"]["backbone"])
     assert _trees_equal(new["params"]["depth_backbone"],
@@ -65,3 +67,13 @@ def test_graft_mismatch_raises():
     donor = {"params": {"not_a_tower": {}}, "batch_stats": {}}
     with pytest.raises(ValueError):
         graft_towers(_variables("rgb", seed=0), donor)
+
+
+def test_graft_refuses_params_without_batch_stats():
+    """A donor carrying tower params but no matching BN running stats would
+    silently pair trained convs with fresh statistics — must raise."""
+    target = _variables("rgb", seed=0)
+    donor = _variables("rgb", seed=1)
+    donor["batch_stats"] = {}  # simulate a stats-less donor tree
+    with pytest.raises(ValueError, match="batch_stats"):
+        graft_towers(target, donor)
