@@ -96,3 +96,6 @@ def test_eval_step_forces_f32():
     # outputs came from an f32 forward
     assert m["pred_rot"].dtype == jnp.float32
     assert np.isfinite(float(m["loss"]))
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

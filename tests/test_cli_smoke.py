@@ -236,3 +236,6 @@ def test_convert_reference_weights_round_trip(demo_workdir, tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         orig, back)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

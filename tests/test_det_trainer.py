@@ -144,3 +144,6 @@ def test_full_state_resume_and_best_gating(synth, tmp_path):
     t3.validate_map50 = lambda rng: pytest.fail("should not validate")
     t3.fit(epochs=2)
     assert int(t3.global_step) == 2 * steps_per_epoch
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

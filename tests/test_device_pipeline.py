@@ -128,3 +128,6 @@ def test_trainer_device_preprocess_smoke(synth, tmp_path):
     rng = np.random.default_rng(0)
     tm = t.train_epoch(0, rng)
     assert np.isfinite(tm["train_loss"])
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -238,3 +238,6 @@ def test_int8_detector_pipeline(frames, K):
     # shape/finite checks + the trained-weight accuracy gate (eval_e2e
     # --int8-backbone) carry the correctness burden
     assert out_q["rotation"].shape == out_f["rotation"].shape
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

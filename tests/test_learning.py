@@ -58,3 +58,6 @@ def test_rotation_overfits_one_batch():
     # random-rotation chance floor is ~2.2 rad; memorizing 8 rotations must
     # land far below it
     assert geo < 1.6, geo
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -1,0 +1,83 @@
+"""Equivalence of the fused Pallas layer1 kernel (ops/pallas_block) vs the
+plain-XLA BN-folded bottleneck math it replaces.
+
+Interpret mode only (CPU suite); the on-chip numerics re-check lives in
+scripts/probe_pallas_block.py — interpret-green Pallas code has twice
+hidden Mosaic-only failures (PERF.md round 3), so the probe validates
+before it times.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose6d_tpu.ops.pallas_block import (
+    fused_layer1,
+    pack_layer1_weights,
+    reference_layer1,
+)
+
+
+def _random_folded(rng, scale=0.05):
+    """A random BN-folded layer1 tree in ops/quant naming. Small weights keep
+    bf16 activations in a well-conditioned range."""
+    folded = {}
+
+    def entry(name, ci, co, k=1):
+        folded[name] = {
+            "w": rng.standard_normal((k, k, ci, co)).astype(np.float32) * scale,
+            "b": rng.standard_normal((co,)).astype(np.float32) * scale,
+        }
+
+    for j in range(3):
+        blk = f"layer1_{j}"
+        entry(f"{blk}/conv1", 64 if j == 0 else 256, 64)
+        entry(f"{blk}/conv2", 64, 64, k=3)
+        entry(f"{blk}/conv3", 64, 256)
+    entry("layer1_0/downsample", 64, 256)
+    return folded
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_fused_layer1_matches_xla_f32(rng, batch):
+    folded = _random_folded(rng)
+    x = jnp.asarray(rng.standard_normal((batch, 56, 56, 64)), jnp.float32)
+    got = fused_layer1(x, pack_layer1_weights(folded, jnp.float32),
+                       dtype=jnp.float32, interpret=True)
+    want = reference_layer1(x, folded, jnp.float32)
+    assert got.shape == (batch, 56, 56, 256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layer1_bf16_close_to_f32_oracle(rng):
+    """bf16 compute with f32 accumulation must stay within bf16 rounding of
+    the f32 oracle — this bounds BOTH the kernel's and XLA's bf16 error, so
+    it holds regardless of where each path rounds."""
+    folded = _random_folded(rng)
+    x = jnp.asarray(rng.standard_normal((2, 56, 56, 64)), jnp.bfloat16)
+    got = fused_layer1(x, pack_layer1_weights(folded, jnp.bfloat16),
+                       dtype=jnp.bfloat16, interpret=True)
+    want = reference_layer1(x.astype(jnp.float32), folded, jnp.float32)
+    want = np.asarray(want)
+    err = np.abs(np.asarray(got, np.float32) - want)
+    scale = want.std()  # relative-to-zero errors near ReLU kinks are fine
+    assert np.mean(err) < 0.02 * scale
+    assert np.max(err) < 0.25 * scale  # bf16 tail after 3 residual blocks
+
+
+def test_fused_layer1_edge_pixels_zero_padded(rng):
+    """The im2col shift masks must reproduce conv2's zero 'same' padding: a
+    constant-interior input makes any padding error show up at the border."""
+    folded = _random_folded(rng)
+    x = jnp.ones((1, 56, 56, 64), jnp.float32)
+    got = fused_layer1(x, pack_layer1_weights(folded, jnp.float32),
+                       dtype=jnp.float32, interpret=True)
+    want = reference_layer1(x, folded, jnp.float32)
+    border = np.s_[0, [0, -1], :, :]
+    np.testing.assert_allclose(np.asarray(got)[border],
+                               np.asarray(want)[border], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got)[0, :, [0, -1], :],
+                               np.asarray(want)[0, :, [0, -1], :],
+                               rtol=1e-5, atol=1e-5)

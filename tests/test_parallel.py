@@ -139,3 +139,6 @@ def test_trainer_rejects_indivisible_batch():
     cfg = TrainConfig(variant="rgb", img_size=IMG, batch_size=6)
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(cfg, "/nonexistent", "/nonexistent", "/tmp/x", mesh=mesh)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -210,3 +210,6 @@ def test_rgbd_attn_zero_init_starts_at_concat_baseline():
     rot_na, trans_na = m_na.apply(v_na, rgb, depth=depth)
     np.testing.assert_allclose(np.asarray(rot), np.asarray(rot_na), atol=1e-6)
     np.testing.assert_allclose(np.asarray(trans), np.asarray(trans_na), atol=1e-6)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

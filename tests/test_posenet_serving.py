@@ -99,3 +99,6 @@ def test_serving_forward_int8_towers_track_float():
     # gate on trained weights lives in the e2e eval
     dots = np.abs(np.sum(np.asarray(rot_q) * np.asarray(rot_f), axis=-1))
     assert np.all(dots > 0.9), dots
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

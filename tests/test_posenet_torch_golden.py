@@ -36,9 +36,13 @@ from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
 
 REF_MODELS = "/root/reference/models"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_MODELS), reason="reference checkout absent"
-)
+# Heavy tier: compiles a ResNet-sized program (and imports torch).
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_MODELS), reason="reference checkout absent"
+    ),
+]
 
 S = 64  # input size: every module is size-agnostic (adaptive pools)
 

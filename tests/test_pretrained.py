@@ -107,3 +107,6 @@ def test_pretrained_with_s2d_stem_rgbd(fake_torchvision_sd):
         depth=jnp.zeros((2, IMG, IMG, 1)),
     )
     assert np.isfinite(np.asarray(rot)).all()
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -83,3 +83,6 @@ def test_int8_forward_jits(resnet_and_input):
     a = np.asarray(f(q, x))
     b = np.asarray(int8_resnet50_forward(q, x))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

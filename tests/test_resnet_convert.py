@@ -1,5 +1,6 @@
 """torchvision ResNet50 converter: round-trip + forward equality + depth init."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,3 +134,6 @@ def test_resnet_s2d_stem_runs():
     assert variables["params"]["conv1"]["kernel"].shape == (4, 4, 12, 64)
     out = m.apply(variables, jax.random.uniform(jax.random.key(1), (2, 64, 64, 3)))
     assert out.shape == (2, 2048)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -32,9 +32,13 @@ from pose6d_tpu.models.resnet import ResNet50
 
 REF_MODELS = "/root/reference/models"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_MODELS), reason="reference checkout absent"
-)
+# Heavy tier: compiles a ResNet-sized program (and imports torch).
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REF_MODELS), reason="reference checkout absent"
+    ),
+]
 
 
 def _import_ref(name):

@@ -120,3 +120,6 @@ def test_remaining_variants_one_step(synth, tmp_path_factory, variant, flavor):
     vb = next(trainer.val_loader.batches(4, rng, shuffle=False, drop_remainder=False))
     m = trainer.eval_step(trainer.state, vb)
     assert np.isfinite(float(m["add_mean"]))
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

@@ -218,3 +218,6 @@ def test_decode_topk_nms_matches_two_step():
                                       err_msg=k)
     np.testing.assert_allclose(np.asarray(ref["boxes"]),
                                np.asarray(got["boxes"]), atol=1e-4)
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

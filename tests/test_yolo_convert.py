@@ -6,6 +6,7 @@ it back and checks tree-equality plus forward-output equality — validating
 layout transposes and name wiring in both directions.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,3 +73,6 @@ def test_model_prefix_stripping():
         params["backbone"]["stem"]["conv"]["kernel"],
         np.asarray(variables["params"]["backbone"]["stem"]["conv"]["kernel"]),
     )
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

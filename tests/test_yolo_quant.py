@@ -64,3 +64,6 @@ def test_int8_forward_tracks_float(yolo_and_input):
     # head output convs stay float
     assert q["head/box0_out"].get("float")
     assert q["backbone/stem"]["w"].dtype == jnp.int8
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow

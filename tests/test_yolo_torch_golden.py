@@ -166,3 +166,6 @@ def test_yolo_converter_matches_torch_forward(rng):
             np.asarray(ocls), tcls.numpy().transpose(0, 2, 3, 1),
             rtol=2e-4, atol=1e-4, err_msg=f"cls level {lvl}",
         )
+
+# Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
+pytestmark = pytest.mark.slow
