@@ -1,0 +1,192 @@
+"""Fused ResNet50 layer1 as one Pallas kernel (bandwidth probe / serving path).
+
+PERF.md's stage profile ends at "every conv graph sits at XLA's 59-60% bf16
+conv MFU on v5e", with the remainder attributed to the bandwidth-bound
+stem+layer1 (56x56 maps, C<=256). This module is the bounded probe of that
+ceiling (VERDICT round 3, next-steps item 3b): XLA materializes every
+bottleneck-block boundary of layer1 to HBM (~6 MB per block per image at
+batch 128 in bf16, ~18 MB for the stage), while the whole stage's weights
+are ~0.3 MB and the working set of ONE image fits VMEM many times over.
+
+The kernel runs all three layer1 bottleneck blocks for one batch element
+per grid step, keeping every intermediate VMEM-resident:
+
+  x [56,56,64] -> block0 (1x1 64->64, 3x3 64->64, 1x1 64->256, projection
+  shortcut 64->256) -> block1/block2 (identity shortcuts) -> y [56,56,256]
+
+HBM traffic per image falls from ~18 MB to 2.0 MB (0.4 read + 1.6 write).
+The 3x3 convs are im2col-in-VMEM: nine pltpu.roll row-shifts of the
+[3136, 64] activation (row = y*56+x) with edge masks build the [3136, 576]
+patch matrix, so conv2 is ONE matmul with K=576 (4.5 MXU tiles) instead of
+nine K=64 (half-empty) accumulations. All matmuls accumulate in f32
+(preferred_element_type) regardless of compute dtype.
+
+Semantics match the eval-mode (BN-folded) bottleneck math of
+ops/quant.folded_resnet50_forward exactly; equivalence is pinned in
+tests/test_pallas_block.py (interpret mode) and re-checked on-chip by
+scripts/probe_pallas_block.py before it times anything (interpret-green
+Pallas code has twice hidden Mosaic-only failures — PERF.md round 3).
+
+Reference provenance: the blocks themselves mirror torchvision ResNet50
+layer1 (reference models/pose_net_rgb.py:18-20 uses it as the backbone);
+this fusion is a TPU-design choice with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = W = 56
+HW = H * W  # 3136 rows, row-major: r = y*56 + x
+CIN = 64  # layer1 input channels (post-maxpool)
+CMID = 64  # bottleneck mid width
+COUT = 256  # expansion 4
+
+# (ky, kx) tap order of the [3,3,64,64] HWIO kernel, flattened to match the
+# patch-matrix chunk order below
+_TAPS = [(ky, kx) for ky in range(3) for kx in range(3)]
+
+
+def _shift_rows(t, dy, dx):
+    """t [HW, C] viewed as a [56,56,C] image (row-major rows): return the
+    (dy, dx)-shifted image with zero fill — chunk[r] = t[r + dy*56 + dx]
+    when (y+dy, x+dx) is inside the image, else 0."""
+    off = dy * W + dx
+    # pltpu.roll requires a non-negative shift; the roll is circular, so
+    # chunk[r] = t[r + off] is shift (-off) mod HW (edge wraparound rows are
+    # zeroed by the validity mask below)
+    rolled = pltpu.roll(t, (-off) % HW, axis=0) if off else t
+    r = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+    y, x = r // W, r % W
+    valid = (y + dy >= 0) & (y + dy < H) & (x + dx >= 0) & (x + dx < W)
+    return jnp.where(valid, rolled, jnp.zeros_like(rolled))
+
+
+def _conv3x3_im2col(t, w2cat, dtype):
+    """3x3 same-padding conv on the [HW, CMID] activation via an in-VMEM
+    im2col: ONE [HW, 576] @ [576, CMID] matmul, f32 accumulation."""
+    patches = jnp.concatenate(
+        [_shift_rows(t, ky - 1, kx - 1) for ky, kx in _TAPS], axis=1
+    )
+    return jnp.dot(
+        patches, w2cat[:], preferred_element_type=jnp.float32
+    )
+
+
+def _layer1_kernel(
+    x_ref,
+    # block 0 (projection shortcut)
+    w1_0, b1_0, w2_0, b2_0, w3_0, b3_0, wd_0, bd_0,
+    # blocks 1, 2 (identity shortcuts)
+    w1_1, b1_1, w2_1, b2_1, w3_1, b3_1,
+    w1_2, b1_2, w2_2, b2_2, w3_2, b3_2,
+    out_ref,
+    *, dtype,
+):
+    x = x_ref[0].reshape(HW, CIN).astype(dtype)  # [3136, 64]
+
+    def block(x2d, w1, b1, w2cat, b2, w3, b3, shortcut):
+        # 1x1 reduce
+        t = jnp.dot(x2d, w1[:], preferred_element_type=jnp.float32)
+        t = jax.nn.relu(t + b1[:]).astype(dtype)
+        # 3x3 (same padding) as one im2col matmul
+        t = _conv3x3_im2col(t, w2cat, dtype)
+        t = jax.nn.relu(t + b2[:]).astype(dtype)
+        # 1x1 expand + residual
+        y = jnp.dot(t, w3[:], preferred_element_type=jnp.float32) + b3[:]
+        return jax.nn.relu(y + shortcut).astype(dtype)
+
+    # block 0: projected shortcut (64 -> 256)
+    r0 = jnp.dot(x, wd_0[:], preferred_element_type=jnp.float32) + bd_0[:]
+    x = block(x, w1_0, b1_0, w2_0, b2_0, w3_0, b3_0, r0)
+    # blocks 1, 2: identity shortcuts (dequantized f32 add, then re-cast)
+    x = block(x, w1_1, b1_1, w2_1, b2_1, w3_1, b3_1,
+              x.astype(jnp.float32))
+    x = block(x, w1_2, b1_2, w2_2, b2_2, w3_2, b3_2,
+              x.astype(jnp.float32))
+    out_ref[0] = x.reshape(H, W, COUT).astype(out_ref.dtype)
+
+
+def pack_layer1_weights(folded: dict, dtype=jnp.bfloat16):
+    """Flatten the layer1 entries of a BN-folded ResNet50 tree
+    (ops/quant.fold_bn_resnet naming: 'layer1_{j}/conv{k}', with
+    'layer1_0/downsample') into the kernel's argument tuple. 1x1 kernels
+    [1,1,ci,co] collapse to [ci,co]; the 3x3 kernel [3,3,cm,cm] flattens to
+    [576, cm] in (ky, kx, cin) row order; biases ride as f32 [1, co]."""
+
+    def w11(name):
+        w = np.asarray(folded[name]["w"])
+        return jnp.asarray(w.reshape(w.shape[2], w.shape[3]), dtype)
+
+    def w33(name):
+        w = np.asarray(folded[name]["w"])  # [3,3,cm,cm] HWIO
+        return jnp.asarray(w.reshape(9 * w.shape[2], w.shape[3]), dtype)
+
+    def b(name):
+        return jnp.asarray(
+            np.asarray(folded[name]["b"]).reshape(1, -1), jnp.float32)
+
+    args = []
+    for j in range(3):
+        blk = f"layer1_{j}"
+        args += [w11(f"{blk}/conv1"), b(f"{blk}/conv1"),
+                 w33(f"{blk}/conv2"), b(f"{blk}/conv2"),
+                 w11(f"{blk}/conv3"), b(f"{blk}/conv3")]
+        if j == 0:
+            args += [w11(f"{blk}/downsample"), b(f"{blk}/downsample")]
+    return tuple(args)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def fused_layer1(x, weights, dtype=jnp.bfloat16, interpret=False):
+    """Run ResNet50 layer1 (three BN-folded bottleneck blocks) as one Pallas
+    kernel. x: [B, 56, 56, 64]; weights: tuple from pack_layer1_weights;
+    returns [B, 56, 56, 256] in x.dtype."""
+    B = x.shape[0]
+    full = lambda a: pl.BlockSpec(  # noqa: E731 — whole-array VMEM operand
+        a.shape, lambda b: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_layer1_kernel, dtype=dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W, CIN), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(a) for a in weights],
+        out_specs=pl.BlockSpec((1, H, W, COUT), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), x.dtype),
+        interpret=interpret,
+    )(x, *weights)
+
+
+def reference_layer1(x, folded, dtype=jnp.float32):
+    """Plain-XLA eval-mode layer1 over the same folded tree (the baseline
+    the kernel is probed against, and the equivalence oracle in tests) —
+    the exact conv math of ops/quant.folded_resnet50_forward restricted to
+    layer1, with castings mirroring the kernel's f32-accumulate contract."""
+    from pose6d_tpu.ops.quant import _conv_f32
+
+    x = x.astype(dtype)
+    for j in range(3):
+        blk = f"layer1_{j}"
+        if j == 0:
+            r = _conv_f32(x, jnp.asarray(folded[f"{blk}/downsample"]["w"],
+                                         dtype),
+                          folded[f"{blk}/downsample"]["b"])
+        else:
+            r = x.astype(jnp.float32)
+        y = _conv_f32(x, jnp.asarray(folded[f"{blk}/conv1"]["w"], dtype),
+                      folded[f"{blk}/conv1"]["b"])
+        y = jax.nn.relu(y).astype(dtype)
+        y = _conv_f32(y, jnp.asarray(folded[f"{blk}/conv2"]["w"], dtype),
+                      folded[f"{blk}/conv2"]["b"], padding=[(1, 1), (1, 1)])
+        y = jax.nn.relu(y).astype(dtype)
+        y = _conv_f32(y, jnp.asarray(folded[f"{blk}/conv3"]["w"], dtype),
+                      folded[f"{blk}/conv3"]["b"])
+        x = jax.nn.relu(y + r).astype(dtype)
+    return x

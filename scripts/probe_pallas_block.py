@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""On-chip probe of the fused Pallas layer1 kernel vs XLA's conv lowering.
+
+The bounded experiment VERDICT round 3 asked for (item 3b): PERF.md claims
+">70% MFU needs a Mosaic/Pallas conv stack, out of scope" — this measures
+one real Pallas formulation of the worst stage (the bandwidth-bound
+stem+layer1 56x56 maps) instead of asserting. Output either moves the
+flagship bf16 number or becomes the measured negative result in PERF.md.
+
+Protocol (PERF.md measurement methodology):
+  1. NUMERICS FIRST on the real chip — interpret-green Pallas code has
+     twice hidden Mosaic-only failures (block shapes, hoisting); the probe
+     aborts if the kernel's bf16 output leaves the bf16-rounding envelope
+     of the f32 oracle.
+  2. Chained-difference timing: N iterations inside one jit, data
+     dependency between them, (t(1+K) - t(1)) / K.
+
+Usage: python scripts/probe_pallas_block.py [--batch 128] [--chain 400]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed_chain(step, x0, n_iters, weights):
+    """One jit call running n_iters chained evaluations of step(x, weights);
+    returns wall time of the fetched call (PERF.md: lazy-backend rules)."""
+
+    @jax.jit
+    def run_n(x, weights):
+        def body(i, carry):
+            y = step(x * (1.0 + carry), weights)
+            # fold the [B,56,56,256] output back into a scalar perturbation
+            return (jnp.sum(y[:1, :1, :1, :8]) * 1e-12).astype(x.dtype)
+
+        c = jax.lax.fori_loop(0, n_iters, body, jnp.asarray(0, x.dtype))
+        return c
+
+    _ = np.asarray(run_n(x0, weights))  # fetch forces compile+execute
+    t0 = time.perf_counter()
+    _ = np.asarray(run_n(x0, weights))
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--chain", type=int, default=400)
+    args = ap.parse_args()
+
+    from pose6d_tpu.ops.pallas_block import (
+        fused_layer1, pack_layer1_weights, reference_layer1)
+    from tests.test_pallas_block import _random_folded
+
+    rng = np.random.default_rng(0)
+    folded = _random_folded(rng)
+    B = args.batch
+    x = jnp.asarray(rng.standard_normal((B, 56, 56, 64)), jnp.bfloat16)
+    w_bf16 = pack_layer1_weights(folded, jnp.bfloat16)
+
+    # ---- 1. numerics on the real chip -----------------------------------
+    got = np.asarray(fused_layer1(x[:4], w_bf16, dtype=jnp.bfloat16),
+                     np.float32)
+    oracle = np.asarray(
+        reference_layer1(x[:4].astype(jnp.float32), folded, jnp.float32))
+    err = np.abs(got - oracle)
+    scale = oracle.std()
+    print(f"[numerics] mean|err|={err.mean():.5f} max|err|={err.max():.5f} "
+          f"oracle std={scale:.4f}")
+    if err.mean() > 0.02 * scale or err.max() > 0.25 * scale:
+        print("[numerics] FAIL — kernel numerics out of envelope on chip; "
+              "not timing a wrong kernel.")
+        sys.exit(1)
+    print("[numerics] OK (within bf16 envelope of the f32 oracle)")
+
+    # ---- 2. chained-difference timing ------------------------------------
+    def xla_step(x, w):
+        return reference_layer1(x, folded_bf16, jnp.bfloat16)
+
+    # reference path with bf16 weights (same tree, jnp arrays ride via
+    # closure: layer1-only microbench, constants are fine at this size)
+    folded_bf16 = {k: {"w": jnp.asarray(v["w"], jnp.bfloat16),
+                       "b": jnp.asarray(v["b"], jnp.float32)}
+                   for k, v in folded.items()}
+
+    def pallas_step(x, w):
+        return fused_layer1(x, w, dtype=jnp.bfloat16)
+
+    rows = {}
+    for name, step, w in [("xla_conv", xla_step, ()),
+                          ("pallas_fused", pallas_step, w_bf16)]:
+        t1 = timed_chain(step, x, 1, w)
+        tn = timed_chain(step, x, 1 + args.chain, w)
+        dt = tn - t1
+        if dt <= 0.02:
+            print(f"[{name}] dt={dt:.4f}s too small to trust — raise --chain")
+            continue
+        ms = dt / args.chain * 1e3
+        # layer1 FLOPs/image: b0 (25.7+231.2+102.8+102.8) + 2x(102.8+231.2+102.8)
+        gf_img = (25.7 + 231.2 + 102.8 + 102.8 + 2 * 436.8) / 1e3
+        mfu = gf_img * B / (ms / 1e3) / 197e3  # v5e bf16 peak 197 TFLOPs
+        # minimal HBM traffic: in + out once (weights negligible)
+        gb = B * 56 * 56 * (64 + 256) * 2 / 1e9
+        bw = gb / (ms / 1e3)
+        rows[name] = ms
+        print(f"[{name}] {ms:.3f} ms/batch{B}  "
+              f"({mfu * 100:.1f}% MFU, {bw:.0f} GB/s min-traffic)")
+
+    if len(rows) == 2:
+        sp = rows["xla_conv"] / rows["pallas_fused"]
+        print(f"[result] pallas_fused is {sp:.2f}x vs XLA conv lowering "
+              f"({rows['xla_conv']:.3f} -> {rows['pallas_fused']:.3f} ms)")
+
+
+if __name__ == "__main__":
+    main()
