@@ -21,3 +21,12 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# CPU-forcing escape hatch for subprocess CLIs (CI, the reproduce_reference
+# dry-run test): the axon sitecustomize pins platform selection so the
+# JAX_PLATFORMS env var alone cannot reach CPU; an explicit config update
+# before first backend touch can. In-process tests use conftest.py instead.
+if __import__("os").environ.get("POSE6D_FORCE_CPU"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

@@ -63,6 +63,41 @@ def test_eval_e2e_runs_on_demo_artifacts(demo_workdir, capsys):
     assert "ADD-0.1d (full system" in out
 
 
+def test_eval_e2e_multi_object_scene(demo_workdir, tmp_path, capsys):
+    # VERDICT round-3 item 9: a MULTI-OBJECT synthetic frame through
+    # eval_e2e. Scenes composite both demo objects (recovered colors, so
+    # the demo-trained detector sees the appearances it was trained on);
+    # --max-objects 2 + --classes pins the frame-level match-and-evaluate
+    # path end-to-end. Detection quality at demo scale is irrelevant —
+    # the contract is the multi-object bookkeeping and output format.
+    from pose6d_tpu.data.synthetic import (
+        generate_synthetic_scene,
+        recover_object_colors,
+    )
+
+    data_root = os.path.join(demo_workdir, "Linemod_synthetic", "data")
+    mesh_dir = os.path.join(demo_workdir, "Linemod_synthetic", "models")
+    colors = recover_object_colors(data_root)
+    assert sorted(colors) == [1, 2]
+    scene = generate_synthetic_scene(
+        str(tmp_path / "scene"), colors, frames=12, seed=2,
+        max_angle_deg=75.0, write_models=False)
+    _run_cli(
+        "eval_e2e.py",
+        ["--variant", "rgbd_geometric", "--data-root", scene["data"],
+         "--mesh-dir", mesh_dir,
+         "--yolo-weights", os.path.join(demo_workdir, "yolo_ckpt"),
+         "--pose-weights",
+         os.path.join(demo_workdir, "weights_rgbd_geometric"),
+         "--img-size", "32", "--batch-size", "4", "--conf-thresh", "0.0",
+         "--max-objects", "2", "--classes", "1,2", "--split", "train"],
+    )
+    out = capsys.readouterr().out
+    assert "GT objects (max_objects=2)" in out
+    assert "object detection rate" in out
+    assert "full system, unmatched = incorrect" in out
+
+
 def test_compare_cli_with_missing_mesh(demo_workdir, tmp_path, capsys):
     # compare.py over a mesh dir that lacks one object's PLY: the meshed
     # object's metrics still aggregate, absent-mesh samples are masked
