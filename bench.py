@@ -75,11 +75,11 @@ def _timed_chain(pipe, frames, K, n_iters):
     depth = jnp.zeros(frames.shape[:3], jnp.float32)
 
     @jax.jit
-    def run_n(yv, pv, fr, K, depth, q):
+    def run_n(yv, pv, fr, K, depth, q, fd):
         def body(i, carry):
             # data dependency: perturb the input with the previous output
             fr_i = fr + carry
-            out = pipe._run_impl(yv, pv, fr_i, K, depth, q)
+            out = pipe._run_impl(yv, pv, fr_i, K, depth, q, fd)
             return (jnp.sum(out["translation"]) > -1e9).astype(jnp.uint8)
 
         c = jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
@@ -87,10 +87,11 @@ def _timed_chain(pipe, frames, K, n_iters):
 
     # warm-up MUST be fetched: on lazy remote backends compile+execute only
     # happen when a result is actually materialized (block_until_ready is
-    # not sufficient). The quantized trees (int8 mode) ride as jit ARGUMENTS
-    # like the model variables — closed-over they would embed as literals.
+    # not sufficient). The quantized/folded trees (serving modes) ride as
+    # jit ARGUMENTS like the model variables — closed-over they would embed
+    # as literals.
     args = (pipe.yolo_variables, pipe.pose_variables, frames, K, depth,
-            pipe._quantized)
+            pipe._quantized, pipe._folded)
     _ = np.asarray(run_n(*args))
     t0 = time.perf_counter()
     c = run_n(*args)
@@ -167,7 +168,7 @@ def _sum_of_parts(pipe, frames, K, iters=20):
 
 
 def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
-              max_objects=1):
+              max_objects=1, folded_backbone=False):
     import sys
 
     pipe, frames, K = _build_pipeline(batch_size, variant, max_objects)
@@ -179,6 +180,11 @@ def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
         # throughput is weight-independent.
         pipe.quantize_backbones(np.asarray(frames), np.asarray(K),
                                 include_detector=True)
+    elif folded_backbone:
+        # folded bf16 serving mode: BN folded into conv weights + Pallas
+        # fused layer1 (ops/pallas_block.py). Accuracy gate:
+        # scripts/eval_e2e.py --folded-backbone on trained checkpoints.
+        pipe.fold_backbones(pallas_layer1=True)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
     dt = tn - t1
@@ -217,6 +223,15 @@ def main():
                                               int8_backbone=True)
         extra["rgb_int8_value"] = round(rgb_i8_fps, 1)
         extra["rgb_int8_method"] = rgb_i8_method
+    # folded bf16 serving mode (fold_backbones: BN folded into conv weights
+    # + Pallas fused layer1) — the round-4 probe of the stem+layer1
+    # bandwidth ceiling, riding the full pipeline. Accuracy-gated by
+    # eval_e2e --folded-backbone. POSE6D_BENCH_FOLDED=0 skips it.
+    if int(os.environ.get("POSE6D_BENCH_FOLDED", "1")):
+        f_fps, f_method = bench_e2e(chain=100, variant="rgbd",
+                                    folded_backbone=True)
+        extra["rgbd_folded_value"] = round(f_fps, 1)
+        extra["rgbd_folded_method"] = f_method
     # multi-object serving: max_objects=4 (the reference's inference loops
     # over every detected box, reference scripts/inference/inference_rgb.py:70
     # — here all 4 crops ride one batched pose forward inside the same jit).

@@ -105,6 +105,8 @@ class PosePipeline:
         self._input_sharding = None
         # int8 serving mode (quantize_backbones): {tower_name: int8 tree}
         self._quantized = {}
+        # folded bf16 serving mode (fold_backbones): {tower: folded tree}
+        self._folded = {}
 
     def shard(self, mesh) -> "PosePipeline":
         """Distribute inference over a device mesh: frames batch-sharded over
@@ -175,6 +177,45 @@ class PosePipeline:
                 self.yolo_variables, self.yolo_cfg,
                 [np.asarray(canvas, np.float32)])
         self._quantized = q
+        return self
+
+    def fold_backbones(self, pallas_layer1: bool = False):
+        """Enable the folded bf16 SERVING mode: BN folds into the conv
+        weights of every ResNet tower (inference-only identity — removes
+        all BN elementwise work from the serving graph) and the towers run
+        through the explicit eval forward (models/posenet_serving.py) with
+        compute-dtype activations and f32 MXU accumulation. With
+        pallas_layer1 (img_size 224 only), the bandwidth-bound layer1 stage
+        runs as the fused VMEM-resident Pallas kernel (ops/pallas_block.py).
+        No calibration needed; the float path is untouched until called.
+        Accuracy gate: scripts/eval_e2e.py --folded-backbone. Returns self."""
+        from ..ops.quant import fold_bn_resnet
+
+        if pallas_layer1 and self.cfg.img_size != 224:
+            raise ValueError(
+                f"pallas_layer1 requires img_size 224 (56x56 layer1 maps), "
+                f"got {self.cfg.img_size}")
+        towers = (("rgb_backbone", "depth_backbone")
+                  if self.cfg.variant == "rgbd" else ("backbone",))
+        fd = {}
+        for name in towers:
+            tree = fold_bn_resnet(self.pose_variables["params"][name],
+                                  self.pose_variables["batch_stats"][name])
+            cd = self.cfg.compute_dtype
+            dev_tree = {
+                k: {"w": jnp.asarray(v["w"], cd if cd != jnp.float32
+                                     else jnp.float32),
+                    "b": jnp.asarray(v["b"], jnp.float32)}
+                for k, v in tree.items()
+            }
+            entry = {"tree": dev_tree}
+            if pallas_layer1:
+                from ..ops.pallas_block import pack_layer1_weights
+
+                entry["pallas_l1"] = pack_layer1_weights(
+                    tree, self.cfg.compute_dtype)
+            fd[name] = entry
+        self._folded = fd
         return self
 
     def _calib_crops(self, yolo_variables, frames, depth_raw_full):
@@ -254,7 +295,7 @@ class PosePipeline:
         return bbox_xywh, dets
 
     def _run_impl(self, yolo_variables, pose_variables, frames, camera_K,
-                  depth_raw_full, quantized):
+                  depth_raw_full, quantized, folded):
         cfg = self.cfg
         S = cfg.img_size
         # normalize straight into the compute dtype: the uint8 -> f32 full
@@ -357,15 +398,16 @@ class PosePipeline:
                 kwargs["bbox_center"] = center_crop
                 kwargs["camera_matrix"] = K_crop
 
-        if quantized:
-            # int8 serving mode: the ResNet towers run s8 x s8 -> s32 on the
-            # MXU (ops/quant.py) through the head-equality-tested serving
-            # forward (models/posenet_serving.py)
+        if quantized or folded:
+            # serving modes: int8 towers (ops/quant.py) and/or the folded
+            # bf16 towers (fold_backbones: BN folded into conv weights,
+            # optional Pallas fused layer1) through the head-equality-tested
+            # serving forward (models/posenet_serving.py)
             from ..models.posenet_serving import serving_forward
 
             rot, trans = serving_forward(
                 pose_variables, self.pose_cfg, quantized=quantized,
-                compute_dtype=cfg.compute_dtype, **kwargs,
+                folded=folded, compute_dtype=cfg.compute_dtype, **kwargs,
             )
         else:
             rot, trans = self.posenet.apply(pose_variables, **kwargs)
@@ -416,5 +458,5 @@ class PosePipeline:
             )
         return self._run(
             self.yolo_variables, self.pose_variables, frames, camera_K,
-            depth_raw_full, self._quantized,
+            depth_raw_full, self._quantized, self._folded,
         )

@@ -117,16 +117,26 @@ def _depth_pinhole_eval(cfg: PoseNetConfig, depth_raw, bbox_center, camera_matri
 
 
 def backbone_features(variables: Dict, name: str, x, q: Optional[Dict] = None,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, folded: Optional[Dict] = None):
     """One tower's [B, 2048] features: int8 path when `q` (the quantized
-    tree from ops.quant) is given, else the exact folded float path."""
+    tree from ops.quant) is given; the folded SERVING path when `folded`
+    (a prepared {"tree": ..., "pallas_l1": ...} from
+    infer.pipeline.fold_backbones or ops.quant.fold_bn_resnet) is given —
+    BN folded into conv weights, activations in compute_dtype, f32 MXU
+    accumulation, optional Pallas fused layer1; else the exact folded
+    float path recomputed from the variables (f32, equality-tested)."""
     from ..ops.quant import fold_bn_resnet, folded_resnet50_forward, int8_resnet50_forward
 
     if q is not None:
         return int8_resnet50_forward(q, x, compute_dtype=compute_dtype)
-    folded = fold_bn_resnet(variables["params"][name],
-                            variables["batch_stats"][name])
-    return folded_resnet50_forward(folded, x)
+    if folded is not None:
+        return folded_resnet50_forward(
+            folded["tree"], x, compute_dtype=compute_dtype,
+            pallas_l1=folded.get("pallas_l1"),
+        )
+    tree = fold_bn_resnet(variables["params"][name],
+                          variables["batch_stats"][name])
+    return folded_resnet50_forward(tree, x)
 
 
 def serving_forward(
@@ -139,20 +149,25 @@ def serving_forward(
     camera_matrix: Optional[jax.Array] = None,
     quantized: Optional[Dict[str, Any]] = None,  # {tower_name: int8 tree}
     compute_dtype=jnp.float32,
+    folded: Optional[Dict[str, Any]] = None,  # {tower_name: folded tree}
 ):
     """Eval-mode PoseNet forward over the variables tree. `quantized` maps
     tower param names ('backbone', 'rgb_backbone', 'depth_backbone') to
-    int8 trees; missing towers run the exact float path. Returns
+    int8 trees, `folded` to prepared bf16 folded trees (quantized wins when
+    both name a tower); missing towers run the exact float path. Returns
     (rotation [B,4] unit xyzw, translation [B,3] m) like PoseNet.apply."""
     p = variables["params"]
     s = variables["batch_stats"]
     q = quantized or {}
+    fd = folded or {}
     v = cfg.variant
     relu, gelu = jax.nn.relu, jax.nn.gelu
 
     def tower(name, x):
         return backbone_features(variables, name, x, q.get(name),
-                                 compute_dtype).astype(jnp.float32)
+                                 compute_dtype,
+                                 folded=None if name in q else fd.get(name),
+                                 ).astype(jnp.float32)
 
     if v == "rgb":
         feat = tower("backbone", rgb)

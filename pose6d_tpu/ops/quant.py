@@ -126,30 +126,56 @@ def _resnet_structure():
             yield i, j, (2 if i > 0 and j == 0 else 1)
 
 
-def folded_resnet50_forward(folded: Dict, x, observer=None):
-    """Float forward over the FOLDED params — numerically equal (eval mode)
-    to ResNet50.apply. `observer(name, x)` is called with each conv's input
-    (the calibration hook)."""
+def folded_resnet50_forward(folded: Dict, x, observer=None,
+                            compute_dtype=jnp.float32, pallas_l1=None):
+    """Forward over the FOLDED params — numerically equal (eval mode) to
+    ResNet50.apply at compute_dtype=f32. `observer(name, x)` is called with
+    each conv's input (the calibration hook).
+
+    compute_dtype=bf16 is the folded SERVING mode: activations and weights
+    ride bf16, every conv accumulates f32 on the MXU
+    (preferred_element_type), biases add in f32 before the relu re-cast —
+    the same numeric contract as ops/pallas_block. `pallas_l1` (a
+    pack_layer1_weights tuple) replaces the three layer1 bottleneck blocks
+    with the fused VMEM-resident Pallas kernel (bandwidth-bound stage, see
+    pallas_block.py); only valid with 224x224 inputs (56x56 layer1 maps)."""
+    cd = compute_dtype
 
     def conv(name, x, stride=1, padding=None):
         if observer is not None:
             observer(name, x)
         e = folded[name]
-        return _conv_f32(x, e["w"], e["b"], stride, padding)
+        if cd == jnp.float32:
+            return _conv_f32(x, e["w"], e["b"], stride, padding)
+        y = lax.conv_general_dilated(
+            x.astype(cd), jnp.asarray(e["w"], cd), (stride, stride),
+            padding if padding is not None else "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + e["b"]
 
     x = conv("conv1", x, 2, [(3, 3), (3, 3)])
-    x = jax.nn.relu(x)
+    x = jax.nn.relu(x).astype(cd)
     x = nn_max_pool(x)
-    for i, j, stride in _resnet_structure():
+    structure = list(_resnet_structure())
+    if pallas_l1 is not None:
+        from .pallas_block import fused_layer1
+
+        x = fused_layer1(x, pallas_l1, dtype=cd)
+        structure = [(i, j, s) for i, j, s in structure if i != 0]
+    for i, j, stride in structure:
         blk = f"layer{i + 1}_{j}"
         r = x
-        y = jax.nn.relu(conv(f"{blk}/conv1", x))
-        y = jax.nn.relu(conv(f"{blk}/conv2", y, stride, [(1, 1), (1, 1)]))
+        y = jax.nn.relu(conv(f"{blk}/conv1", x)).astype(cd)
+        y = jax.nn.relu(conv(f"{blk}/conv2", y, stride, [(1, 1), (1, 1)])).astype(cd)
         y = conv(f"{blk}/conv3", y)
         if f"{blk}/downsample" in folded:
             r = conv(f"{blk}/downsample", r, stride)
-        x = jax.nn.relu(y + r)
-    return jnp.mean(x, axis=(1, 2))
+        else:
+            r = r.astype(jnp.float32) if cd != jnp.float32 else r
+        x = jax.nn.relu(y + r).astype(cd)
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 def int8_resnet50_forward(q: Dict, x, compute_dtype=jnp.float32):

@@ -148,6 +148,11 @@ def main():
                          "ResNet towers on the first batch (calibration) and "
                          "evaluate the quantized system — the accuracy gate "
                          "for the bench's POSE6D_BENCH_INT8 throughput mode")
+    ap.add_argument("--folded-backbone", action="store_true",
+                    help="folded bf16 serving mode (pipeline.fold_backbones: "
+                         "BN folded into conv weights, bf16 activations, f32 "
+                         "MXU accumulation + Pallas fused layer1 at img 224) "
+                         "— the accuracy gate for bench.py's folded row")
     ap.add_argument("--max-objects", type=int, default=1,
                     help=">1 evaluates MULTI-OBJECT frames (build_frame_index "
                          "keeps every gt.yml annotation): the pipeline "
@@ -209,15 +214,21 @@ def main():
     if pvars is None:
         sys.exit(f"no pose checkpoint in {args.pose_weights}")
 
+    # --folded-backbone gates the DEPLOYED serving config (bf16 pipeline +
+    # folded towers), so it runs the bench's compute dtype, not eval f32
+    compute_dtype = jnp.bfloat16 if args.folded_backbone else jnp.float32
     pipe = PosePipeline(
         PipelineConfig(variant=args.variant, img_size=args.img_size,
-                       conf_thresh=args.conf_thresh, compute_dtype=jnp.float32,
+                       conf_thresh=args.conf_thresh,
+                       compute_dtype=compute_dtype,
                        max_objects=args.max_objects),
         ycfg, yvars, pvars,
         PoseNetConfig(variant=args.variant, img_size=args.img_size,
                       rot_head_wide=args.rot_head_wide,
                       fusion_attention=args.fusion_attention),
     )
+    if args.folded_backbone:
+        pipe.fold_backbones(pallas_layer1=(args.img_size == 224))
     evaluator = ADDEvaluator(args.mesh_dir)
 
     if multi:

@@ -20,6 +20,7 @@ SECTIONS = [
     ("base", "# Accuracy-parity evidence"),
     ("attribution", "## Component attribution"),
     ("e2e", "## Full-system (detector-in-the-loop) evaluation"),
+    ("serving", "## Serving-mode accuracy gates"),
     ("narrative", "## Reading the tables"),
     ("ablation", "## Ablation:"),
     ("diagnosis", "## The rgbd fusion stall"),

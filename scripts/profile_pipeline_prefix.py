@@ -126,7 +126,8 @@ def main():
         return rot
 
     def full(fr, k, d, yvars, pvars):
-        return pipe._run_impl(yvars, pvars, fr, k, d, pipe._quantized)
+        return pipe._run_impl(yvars, pvars, fr, k, d, pipe._quantized,
+                               pipe._folded)
 
     prefixes = [("convert", convert), ("+yolo", detect), ("+decode_nms", decode),
                 ("+crop", cropped), ("+normalize", normalized)]

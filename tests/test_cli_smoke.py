@@ -98,6 +98,27 @@ def test_eval_e2e_multi_object_scene(demo_workdir, tmp_path, capsys):
     assert "full system, unmatched = incorrect" in out
 
 
+def test_eval_e2e_folded_backbone(demo_workdir, capsys):
+    # --folded-backbone drives the folded-bf16 SERVING config end to end
+    # (fold_backbones: BN folded into conv weights, bf16 pipeline compute
+    # dtype; pallas_layer1 stays off below img 224) — the accuracy-gate
+    # surface for bench.py's folded throughput row.
+    data_root = os.path.join(demo_workdir, "Linemod_synthetic", "data")
+    mesh_dir = os.path.join(demo_workdir, "Linemod_synthetic", "models")
+    _run_cli(
+        "eval_e2e.py",
+        ["--variant", "rgbd_geometric", "--data-root", data_root,
+         "--mesh-dir", mesh_dir,
+         "--yolo-weights", os.path.join(demo_workdir, "yolo_ckpt"),
+         "--pose-weights", os.path.join(demo_workdir, "weights_rgbd_geometric"),
+         "--img-size", "32", "--batch-size", "4", "--conf-thresh", "0.0",
+         "--folded-backbone"],
+    )
+    out = capsys.readouterr().out
+    assert "detection rate:" in out
+    assert "ADD-0.1d (full system" in out
+
+
 def test_compare_cli_with_missing_mesh(demo_workdir, tmp_path, capsys):
     # compare.py over a mesh dir that lacks one object's PLY: the meshed
     # object's metrics still aggregate, absent-mesh samples are masked

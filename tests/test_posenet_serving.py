@@ -100,5 +100,90 @@ def test_serving_forward_int8_towers_track_float():
     dots = np.abs(np.sum(np.asarray(rot_q) * np.asarray(rot_f), axis=-1))
     assert np.all(dots > 0.9), dots
 
+def test_serving_forward_folded_f32_exact():
+    """Prepared folded trees (the fold_backbones serving mode) at f32 are
+    the same numerics as the on-the-fly folded float path."""
+    from pose6d_tpu.ops.quant import fold_bn_resnet
+
+    cfg = PoseNetConfig(variant="rgbd", img_size=S)
+    model = PoseNet(cfg)
+    kw = _inputs(cfg)
+    variables = _randomize_stats(model.init(jax.random.key(0), **kw))
+    rot_f, trans_f = serving_forward(variables, cfg, **kw)
+
+    fd = {}
+    for name in ("rgb_backbone", "depth_backbone"):
+        tree = fold_bn_resnet(variables["params"][name],
+                              variables["batch_stats"][name])
+        fd[name] = {"tree": jax.tree.map(jnp.asarray, tree)}
+    rot, trans = serving_forward(variables, cfg, folded=fd, **kw)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(rot_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(trans_f),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_serving_forward_folded_bf16_tracks_float():
+    """The folded bf16 serving mode (bf16 activations/weights, f32 MXU
+    accumulation) stays within the bf16 envelope of the float forward."""
+    from pose6d_tpu.ops.quant import fold_bn_resnet
+
+    cfg = PoseNetConfig(variant="rgb", img_size=S)
+    model = PoseNet(cfg)
+    kw = _inputs(cfg)
+    variables = _randomize_stats(model.init(jax.random.key(0), **kw))
+    rot_f, trans_f = serving_forward(variables, cfg, **kw)
+
+    tree = fold_bn_resnet(variables["params"]["backbone"],
+                          variables["batch_stats"]["backbone"])
+    fd = {"backbone": {
+        "tree": {k: {"w": jnp.asarray(v["w"], jnp.bfloat16),
+                     "b": jnp.asarray(v["b"], jnp.float32)}
+                 for k, v in tree.items()}}}
+    rot, trans = serving_forward(variables, cfg, folded=fd,
+                                 compute_dtype=jnp.bfloat16, **kw)
+    dots = np.abs(np.sum(np.asarray(rot) * np.asarray(rot_f), axis=-1))
+    assert np.all(dots > 0.99), dots
+    np.testing.assert_allclose(np.asarray(trans), np.asarray(trans_f),
+                               rtol=0.1, atol=0.05)
+
+
+def test_pipeline_fold_backbones_routes_and_guards():
+    """PosePipeline.fold_backbones: folded outputs match the float pipeline
+    (f32 compute dtype, no pallas at this size), and the pallas_layer1
+    guard rejects non-224 crop sizes."""
+    from pose6d_tpu.infer import PipelineConfig, PosePipeline
+    from pose6d_tpu.models.yolo.model import YoloConfig, YoloV8
+
+    ycfg = YoloConfig(num_classes=2)
+    yolo = YoloV8(ycfg)
+    yvars = yolo.init(jax.random.key(0), jnp.zeros((1, 96, 96, 3)))
+    pcfg = PoseNetConfig(variant="rgb", img_size=S)
+    pose = PoseNet(pcfg)
+    pvars = _randomize_stats(
+        pose.init(jax.random.key(1), jnp.zeros((1, S, S, 3))))
+
+    def build():
+        return PosePipeline(
+            PipelineConfig(variant="rgb", img_size=S, det_size=96,
+                           conf_thresh=0.0, compute_dtype=jnp.float32),
+            ycfg, yvars, pvars, pcfg)
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, size=(2, 96, 96, 3), dtype=np.uint8)
+    K = np.broadcast_to(np.array([[100.0, 0, 48], [0, 100, 48], [0, 0, 1]],
+                                 np.float32), (2, 3, 3))
+    out_f = build()(frames, K)
+    out_folded = build().fold_backbones()(frames, K)
+    np.testing.assert_allclose(np.asarray(out_folded["rotation"]),
+                               np.asarray(out_f["rotation"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_folded["translation"]),
+                               np.asarray(out_f["translation"]),
+                               rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        build().fold_backbones(pallas_layer1=True)  # img_size != 224
+
+
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
