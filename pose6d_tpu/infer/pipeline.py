@@ -179,22 +179,24 @@ class PosePipeline:
         self._quantized = q
         return self
 
-    def fold_backbones(self, pallas_layer1: bool = False):
+    def fold_backbones(self, pallas_layer1: bool = False,
+                       pallas_stem: bool = False):
         """Enable the folded bf16 SERVING mode: BN folds into the conv
         weights of every ResNet tower (inference-only identity — removes
         all BN elementwise work from the serving graph) and the towers run
         through the explicit eval forward (models/posenet_serving.py) with
         compute-dtype activations and f32 MXU accumulation. With
-        pallas_layer1 (img_size 224 only), the bandwidth-bound layer1 stage
-        runs as the fused VMEM-resident Pallas kernel (ops/pallas_block.py).
+        pallas_layer1 / pallas_stem (img_size 224 only), the bandwidth-bound
+        layer1 / conv1+maxpool stages run as fused VMEM-resident Pallas
+        kernels (ops/pallas_block.py).
         No calibration needed; the float path is untouched until called.
         Accuracy gate: scripts/eval_e2e.py --folded-backbone. Returns self."""
         from ..ops.quant import fold_bn_resnet
 
-        if pallas_layer1 and self.cfg.img_size != 224:
+        if (pallas_layer1 or pallas_stem) and self.cfg.img_size != 224:
             raise ValueError(
-                f"pallas_layer1 requires img_size 224 (56x56 layer1 maps), "
-                f"got {self.cfg.img_size}")
+                f"pallas_layer1/pallas_stem require img_size 224 (56x56 "
+                f"layer1 maps), got {self.cfg.img_size}")
         towers = (("rgb_backbone", "depth_backbone")
                   if self.cfg.variant == "rgbd" else ("backbone",))
         fd = {}
@@ -213,6 +215,11 @@ class PosePipeline:
                 from ..ops.pallas_block import pack_layer1_weights
 
                 entry["pallas_l1"] = pack_layer1_weights(
+                    tree, self.cfg.compute_dtype)
+            if pallas_stem:
+                from ..ops.pallas_block import pack_stem_weights
+
+                entry["pallas_stem"] = pack_stem_weights(
                     tree, self.cfg.compute_dtype)
             fd[name] = entry
         self._folded = fd

@@ -133,6 +133,7 @@ def backbone_features(variables: Dict, name: str, x, q: Optional[Dict] = None,
         return folded_resnet50_forward(
             folded["tree"], x, compute_dtype=compute_dtype,
             pallas_l1=folded.get("pallas_l1"),
+            pallas_stem=folded.get("pallas_stem"),
         )
     tree = fold_bn_resnet(variables["params"][name],
                           variables["batch_stats"][name])

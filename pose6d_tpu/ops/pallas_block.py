@@ -53,19 +53,23 @@ COUT = 256  # expansion 4
 _TAPS = [(ky, kx) for ky in range(3) for kx in range(3)]
 
 
-def _shift_rows(t, dy, dx):
-    """t [HW, C] viewed as a [56,56,C] image (row-major rows): return the
-    (dy, dx)-shifted image with zero fill — chunk[r] = t[r + dy*56 + dx]
+def _shift_rows_hw(t, dy, dx, h, w):
+    """t [h*w, C] viewed as an [h,w,C] image (row-major rows): return the
+    (dy, dx)-shifted image with zero fill — chunk[r] = t[r + dy*w + dx]
     when (y+dy, x+dx) is inside the image, else 0."""
-    off = dy * W + dx
+    off = dy * w + dx
     # pltpu.roll requires a non-negative shift; the roll is circular, so
-    # chunk[r] = t[r + off] is shift (-off) mod HW (edge wraparound rows are
-    # zeroed by the validity mask below)
-    rolled = pltpu.roll(t, (-off) % HW, axis=0) if off else t
-    r = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
-    y, x = r // W, r % W
-    valid = (y + dy >= 0) & (y + dy < H) & (x + dx >= 0) & (x + dx < W)
+    # chunk[r] = t[r + off] is shift (-off) mod h*w (edge wraparound rows
+    # are zeroed by the validity mask below)
+    rolled = pltpu.roll(t, (-off) % (h * w), axis=0) if off else t
+    r = jax.lax.broadcasted_iota(jnp.int32, (h * w, 1), 0)
+    y, x = r // w, r % w
+    valid = (y + dy >= 0) & (y + dy < h) & (x + dx >= 0) & (x + dx < w)
     return jnp.where(valid, rolled, jnp.zeros_like(rolled))
+
+
+def _shift_rows(t, dy, dx):
+    return _shift_rows_hw(t, dy, dx, H, W)
 
 
 def _conv3x3_im2col(t, w2cat, dtype):
@@ -162,6 +166,116 @@ def fused_layer1(x, weights, dtype=jnp.bfloat16, interpret=False):
         out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), x.dtype),
         interpret=interpret,
     )(x, *weights)
+
+
+# --------------------------------------------------------------- fused stem
+#
+# The OTHER bandwidth-bound prefix stage (PERF.md round 3d: stem + layer1 =
+# 5.2 of 11.1 prefix-ms): conv1 7x7/s2/pad3 -> relu -> maxpool 3x3/s2/pad1.
+# XLA materializes the [112,112,64] conv1 output to HBM (1.6 MB/image bf16)
+# just for the maxpool to read it back; fused, HBM traffic per image is
+# 0.3 MB in (the space-to-depth input) + 0.4 MB out.
+#
+# The 7x7/s2 conv is MXU-hostile as-is (C=3). Space-to-depth 2x2 (a pure
+# layout op, done OUTSIDE the kernel in XLA on the same bytes) turns it
+# into a 4x4/s1 conv over a [112,112,12] input; in VMEM the 16 taps
+# concatenate into ONE [12544, 192] @ [192, 64] matmul (1.5 MXU k-tiles vs
+# forty-nine K=3 slivers). The maxpool rides as shifted maxes on the relu'd
+# activation (zero fill is exact post-relu) + an even-row/col subsample.
+
+SH = SW = 112  # conv1 output grid (224/2)
+SHW = SH * SW
+# (u, v) tap order of the 4x4 s2d kernel; chunk order of the patch matrix
+_STEM_TAPS = [(u, v) for u in range(-2, 2) for v in range(-2, 2)]
+
+
+def space_to_depth_2x2(x):
+    """[B, 224, 224, C] -> [B, 112, 112, 4C] with channel order
+    (py, px, c): out[b, Y, X, py*2C+px*C+c] = x[b, 2Y+py, 2X+px, c].
+    C=3 for RGB towers, C=1 for the rgbd depth tower."""
+    B, H2, W2, C = x.shape
+    x = x.reshape(B, H2 // 2, 2, W2 // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H2 // 2, W2 // 2, 4 * C)
+
+
+def _stem_kernel(x_ref, w_ref, b_ref, out_ref, *, dtype, s2d_c):
+    x = x_ref[0].reshape(SHW, s2d_c).astype(dtype)  # [12544, 4C]
+    patches = jnp.concatenate(
+        [_shift_rows_hw(x, u, v, SH, SW) for u, v in _STEM_TAPS], axis=1
+    )  # [12544, 192]
+    t = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+    t = jax.nn.relu(t + b_ref[:]).astype(dtype)  # conv1+relu [12544, 64]
+    # maxpool 3x3/s2/pad1: shifted maxes (t >= 0, so zero fill can never
+    # exceed a window's true max), then even-row/col subsample
+    u1 = t
+    for dx in (-1, 1):
+        u1 = jnp.maximum(u1, _shift_rows_hw(t, 0, dx, SH, SW))
+    u2 = u1
+    for dy in (-1, 1):
+        u2 = jnp.maximum(u2, _shift_rows_hw(u1, dy, 0, SH, SW))
+    # subsample y even: [112, 112*64] -> [56, 2, 112*64] -> row 0
+    u2 = u2.reshape(SH, SW * CIN).reshape(SH // 2, 2, SW * CIN)[:, 0]
+    # subsample x even: [56, 112, 64] -> [56, 56, 2, 64] -> col 0
+    u2 = u2.reshape(SH // 2, SW // 2, 2, CIN)[:, :, 0]
+    out_ref[0] = u2.astype(out_ref.dtype)
+
+
+def pack_stem_weights(folded: dict, dtype=jnp.bfloat16):
+    """Rearrange the BN-folded conv1 kernel [7,7,C,64] into the fused stem
+    kernel's argument pair: (w2cat [16*4C,64] dtype, b [1,64] f32). Row
+    order of w2cat matches the patch chunks: tap (u,v) in _STEM_TAPS order,
+    then channel (py, px, c) — w2cat[(u,v) chunk][py*2C+px*C+c] =
+    conv1_w[2u+py+3, 2v+px+3, c] (zero where the 7x7 kernel has no tap).
+    C=3 for RGB towers, C=1 for the rgbd depth tower."""
+    w = np.asarray(folded["conv1"]["w"])  # [7,7,C,64] HWIO
+    ci, co = w.shape[2], w.shape[3]
+    w2 = np.zeros((len(_STEM_TAPS), 4 * ci, co), np.float32)
+    for t, (u, v) in enumerate(_STEM_TAPS):
+        for py in range(2):
+            for px in range(2):
+                ky, kx = 2 * u + py + 3, 2 * v + px + 3
+                if 0 <= ky <= 6 and 0 <= kx <= 6:
+                    lo = py * 2 * ci + px * ci
+                    w2[t, lo:lo + ci] = w[ky, kx]
+    b = np.asarray(folded["conv1"]["b"]).reshape(1, -1)
+    return (jnp.asarray(w2.reshape(-1, co), dtype),
+            jnp.asarray(b, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "interpret"))
+def fused_stem(x, weights, dtype=jnp.bfloat16, interpret=False):
+    """conv1 7x7/s2 + relu + maxpool 3x3/s2 as one Pallas kernel.
+    x: [B, 224, 224, C] (C=3 RGB, C=1 depth); weights: pair from
+    pack_stem_weights; returns [B, 56, 56, 64] in x.dtype — ResNet50
+    layer1's input."""
+    B = x.shape[0]
+    x2 = space_to_depth_2x2(x)  # XLA-side pure layout op
+    s2d_c = x2.shape[-1]
+    w2cat, b = weights
+    full = lambda a: pl.BlockSpec(  # noqa: E731 — whole-array VMEM operand
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stem_kernel, dtype=dtype, s2d_c=s2d_c),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, SH, SW, s2d_c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  full(w2cat), full(b)],
+        out_specs=pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, CIN), x.dtype),
+        interpret=interpret,
+    )(x2, w2cat, b)
+
+
+def reference_stem(x, folded, dtype=jnp.float32):
+    """Plain-XLA eval-mode stem over the same folded tree (equivalence
+    oracle): conv1 -> relu -> maxpool, the exact math of
+    ops/quant.folded_resnet50_forward's prefix."""
+    from pose6d_tpu.ops.quant import _conv_f32, nn_max_pool
+
+    y = _conv_f32(x.astype(dtype), jnp.asarray(folded["conv1"]["w"], dtype),
+                  folded["conv1"]["b"], stride=2, padding=[(3, 3), (3, 3)])
+    return nn_max_pool(jax.nn.relu(y).astype(dtype))
 
 
 def reference_layer1(x, folded, dtype=jnp.float32):

@@ -127,7 +127,8 @@ def _resnet_structure():
 
 
 def folded_resnet50_forward(folded: Dict, x, observer=None,
-                            compute_dtype=jnp.float32, pallas_l1=None):
+                            compute_dtype=jnp.float32, pallas_l1=None,
+                            pallas_stem=None):
     """Forward over the FOLDED params — numerically equal (eval mode) to
     ResNet50.apply at compute_dtype=f32. `observer(name, x)` is called with
     each conv's input (the calibration hook).
@@ -137,7 +138,9 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
     (preferred_element_type), biases add in f32 before the relu re-cast —
     the same numeric contract as ops/pallas_block. `pallas_l1` (a
     pack_layer1_weights tuple) replaces the three layer1 bottleneck blocks
-    with the fused VMEM-resident Pallas kernel (bandwidth-bound stage, see
+    with the fused VMEM-resident Pallas kernel, and `pallas_stem` (a
+    pack_stem_weights pair) replaces conv1+relu+maxpool with the fused
+    space-to-depth stem kernel (the two bandwidth-bound stages, see
     pallas_block.py); only valid with 224x224 inputs (56x56 layer1 maps)."""
     cd = compute_dtype
 
@@ -155,9 +158,14 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
         )
         return y + e["b"]
 
-    x = conv("conv1", x, 2, [(3, 3), (3, 3)])
-    x = jax.nn.relu(x).astype(cd)
-    x = nn_max_pool(x)
+    if pallas_stem is not None:
+        from .pallas_block import fused_stem
+
+        x = fused_stem(x.astype(cd), pallas_stem, dtype=cd)
+    else:
+        x = conv("conv1", x, 2, [(3, 3), (3, 3)])
+        x = jax.nn.relu(x).astype(cd)
+        x = nn_max_pool(x)
     structure = list(_resnet_structure())
     if pallas_l1 is not None:
         from .pallas_block import fused_layer1

@@ -119,6 +119,62 @@ def main():
         print(f"[result] pallas_fused is {sp:.2f}x vs XLA conv lowering "
               f"({rows['xla_conv']:.3f} -> {rows['pallas_fused']:.3f} ms)")
 
+    # ---- 3. fused stem (conv1+relu+maxpool), same protocol ----------------
+    from pose6d_tpu.ops.pallas_block import (
+        fused_stem, pack_stem_weights, reference_stem)
+    from tests.test_pallas_block import _random_stem
+
+    stem_folded = _random_stem(rng)
+    xs = jnp.asarray(rng.standard_normal((B, 224, 224, 3)), jnp.bfloat16)
+    ws_bf16 = pack_stem_weights(stem_folded, jnp.bfloat16)
+
+    got = np.asarray(fused_stem(xs[:4], ws_bf16, dtype=jnp.bfloat16),
+                     np.float32)
+    oracle = np.asarray(
+        reference_stem(xs[:4].astype(jnp.float32), stem_folded, jnp.float32))
+    err = np.abs(got - oracle)
+    scale = oracle.std()
+    print(f"[stem numerics] mean|err|={err.mean():.5f} "
+          f"max|err|={err.max():.5f} oracle std={scale:.4f}")
+    if err.mean() > 0.02 * scale or err.max() > 0.25 * scale:
+        print("[stem numerics] FAIL — stem kernel out of envelope on chip; "
+              "not timing it (layer1 results above stand).")
+        sys.exit(0)
+    print("[stem numerics] OK (within bf16 envelope of the f32 oracle)")
+
+    stem_bf16 = {k: {"w": jnp.asarray(v["w"], jnp.bfloat16),
+                     "b": jnp.asarray(v["b"], jnp.float32)}
+                 for k, v in stem_folded.items()}
+
+    def xla_stem(x, w):
+        return reference_stem(x, stem_bf16, jnp.bfloat16)
+
+    def pallas_stem(x, w):
+        return fused_stem(x, w, dtype=jnp.bfloat16)
+
+    srows = {}
+    for name, step, w in [("xla_stem", xla_stem, ()),
+                          ("pallas_stem", pallas_stem, ws_bf16)]:
+        t1 = timed_chain(step, xs, 1, w)
+        tn = timed_chain(step, xs, 1 + args.chain, w)
+        dt = tn - t1
+        if dt <= 0.02:
+            print(f"[{name}] dt={dt:.4f}s too small to trust — raise --chain")
+            continue
+        ms = dt / args.chain * 1e3
+        # stem FLOPs/image: conv1 = 112*112*64*7*7*3*2 = 236 MF
+        mfu = 0.236 * B / (ms / 1e3) / 197e3
+        gb = B * (224 * 224 * 3 + 56 * 56 * 64) * 2 / 1e9
+        bw = gb / (ms / 1e3)
+        srows[name] = ms
+        print(f"[{name}] {ms:.3f} ms/batch{B}  "
+              f"({mfu * 100:.1f}% MFU, {bw:.0f} GB/s min-traffic)")
+
+    if len(srows) == 2:
+        sp = srows["xla_stem"] / srows["pallas_stem"]
+        print(f"[stem result] pallas_stem is {sp:.2f}x vs XLA "
+              f"({srows['xla_stem']:.3f} -> {srows['pallas_stem']:.3f} ms)")
+
 
 if __name__ == "__main__":
     main()

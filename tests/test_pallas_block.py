@@ -14,8 +14,12 @@ import pytest
 
 from pose6d_tpu.ops.pallas_block import (
     fused_layer1,
+    fused_stem,
     pack_layer1_weights,
+    pack_stem_weights,
     reference_layer1,
+    reference_stem,
+    space_to_depth_2x2,
 )
 
 
@@ -80,4 +84,76 @@ def test_fused_layer1_edge_pixels_zero_padded(rng):
                                np.asarray(want)[border], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got)[0, :, [0, -1], :],
                                np.asarray(want)[0, :, [0, -1], :],
+                               rtol=1e-5, atol=1e-5)
+
+
+def _random_stem(rng, scale=0.05):
+    return {"conv1": {
+        "w": rng.standard_normal((7, 7, 3, 64)).astype(np.float32) * scale,
+        "b": rng.standard_normal((64,)).astype(np.float32) * scale,
+    }}
+
+
+def test_space_to_depth_layout(rng):
+    x = jnp.asarray(rng.standard_normal((2, 224, 224, 3)), jnp.float32)
+    y = np.asarray(space_to_depth_2x2(x))
+    xn = np.asarray(x)
+    for py in range(2):
+        for px in range(2):
+            np.testing.assert_array_equal(
+                y[:, :, :, py * 6 + px * 3:py * 6 + px * 3 + 3],
+                xn[:, py::2, px::2, :])
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_fused_stem_matches_xla_f32(rng, batch):
+    folded = _random_stem(rng)
+    x = jnp.asarray(rng.standard_normal((batch, 224, 224, 3)), jnp.float32)
+    got = fused_stem(x, pack_stem_weights(folded, jnp.float32),
+                     dtype=jnp.float32, interpret=True)
+    want = reference_stem(x, folded, jnp.float32)
+    assert got.shape == (batch, 56, 56, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_bf16_close_to_f32_oracle(rng):
+    folded = _random_stem(rng)
+    x = jnp.asarray(rng.standard_normal((1, 224, 224, 3)), jnp.bfloat16)
+    got = fused_stem(x, pack_stem_weights(folded, jnp.bfloat16),
+                     dtype=jnp.bfloat16, interpret=True)
+    want = np.asarray(reference_stem(x.astype(jnp.float32), folded,
+                                     jnp.float32))
+    err = np.abs(np.asarray(got, np.float32) - want)
+    scale = want.std()
+    assert np.mean(err) < 0.02 * scale
+    assert np.max(err) < 0.25 * scale
+
+
+def test_fused_stem_edges_zero_padded(rng):
+    """conv1's pad-3 border and the maxpool's pad-1 border must both match
+    XLA exactly (a constant input exposes any padding mismatch)."""
+    folded = _random_stem(rng)
+    x = jnp.ones((1, 224, 224, 3), jnp.float32)
+    got = np.asarray(fused_stem(x, pack_stem_weights(folded, jnp.float32),
+                                dtype=jnp.float32, interpret=True))
+    want = np.asarray(reference_stem(x, folded, jnp.float32))
+    np.testing.assert_allclose(got[0, [0, -1], :, :], want[0, [0, -1], :, :],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[0, :, [0, -1], :], want[0, :, [0, -1], :],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_depth_tower_1ch(rng):
+    """The rgbd depth tower's conv1 is 1-channel (models/convert.py sum
+    init); the stem kernel must handle C=1 (s2d channels 4)."""
+    folded = {"conv1": {
+        "w": rng.standard_normal((7, 7, 1, 64)).astype(np.float32) * 0.05,
+        "b": rng.standard_normal((64,)).astype(np.float32) * 0.05,
+    }}
+    x = jnp.asarray(rng.standard_normal((2, 224, 224, 1)), jnp.float32)
+    got = fused_stem(x, pack_stem_weights(folded, jnp.float32),
+                     dtype=jnp.float32, interpret=True)
+    want = reference_stem(x, folded, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
