@@ -18,6 +18,7 @@ fetch costs cancel.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -214,39 +215,61 @@ def main():
     # --int8-backbone: accuracy-neutral on the trained fixture system).
     # POSE6D_BENCH_INT8=0 skips it.
     extra = {}
-    if int(os.environ.get("POSE6D_BENCH_INT8", "1")):
+
+    def optional_row(tag, fn):
+        # an opt-in serving-mode row must never take down the round's bench
+        # artifact (e.g. a Mosaic-only Pallas failure in the folded mode):
+        # record the error as a labeled field and keep the headline rows
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            extra[f"{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    def _int8_rows():
         i8_fps, i8_method = bench_e2e(chain=100, variant="rgbd",
                                       int8_backbone=True)
-        extra = {"rgbd_int8_value": round(i8_fps, 1),
-                 "rgbd_int8_method": i8_method}
+        extra["rgbd_int8_value"] = round(i8_fps, 1)
+        extra["rgbd_int8_method"] = i8_method
         rgb_i8_fps, rgb_i8_method = bench_e2e(chain=100, variant="rgb",
                                               int8_backbone=True)
         extra["rgb_int8_value"] = round(rgb_i8_fps, 1)
         extra["rgb_int8_method"] = rgb_i8_method
-    # folded bf16 serving mode (fold_backbones: BN folded into conv weights
-    # + Pallas fused layer1) — the round-4 probe of the stem+layer1
-    # bandwidth ceiling, riding the full pipeline. Accuracy-gated by
-    # eval_e2e --folded-backbone. POSE6D_BENCH_FOLDED=0 skips it.
-    if int(os.environ.get("POSE6D_BENCH_FOLDED", "1")):
+
+    def _folded_row():
+        # folded bf16 serving mode (fold_backbones: BN folded into conv
+        # weights + Pallas fused layer1) — the round-4 probe of the
+        # stem+layer1 bandwidth ceiling, riding the full pipeline.
+        # Accuracy-gated by eval_e2e --folded-backbone.
         f_fps, f_method = bench_e2e(chain=100, variant="rgbd",
                                     folded_backbone=True)
         extra["rgbd_folded_value"] = round(f_fps, 1)
         extra["rgbd_folded_method"] = f_method
-    # multi-object serving: max_objects=4 (the reference's inference loops
-    # over every detected box, reference scripts/inference/inference_rgb.py:70
-    # — here all 4 crops ride one batched pose forward inside the same jit).
-    # POSE6D_BENCH_MULTIOBJ=0 skips it.
-    if int(os.environ.get("POSE6D_BENCH_MULTIOBJ", "1")):
+
+    def _multiobj_row():
+        # multi-object serving: max_objects=4 (the reference's inference
+        # loops over every detected box, reference
+        # scripts/inference/inference_rgb.py:70 — here all 4 crops ride one
+        # batched pose forward inside the same jit).
         mo_fps, mo_method = bench_e2e(chain=100, variant="rgb", max_objects=4)
         extra["rgb_maxobj4_value"] = round(mo_fps, 1)
         extra["rgb_maxobj4_method"] = mo_method
-    # serving latency at batch 1 (the regime of the reference's "real-time"
-    # claim, reference README.md:5): chained-difference on the bf16 flagship.
-    # POSE6D_BENCH_LATENCY=0 skips it. Full table: scripts/bench_latency.py.
-    if int(os.environ.get("POSE6D_BENCH_LATENCY", "1")):
+
+    def _latency_row():
+        # serving latency at batch 1 (the regime of the reference's
+        # "real-time" claim, reference README.md:5): chained-difference on
+        # the bf16 flagship. Full table: scripts/bench_latency.py.
         b1_fps, b1_method = bench_e2e(batch_size=1, chain=400, variant="rgbd")
         extra["latency_ms_b1"] = round(1e3 / b1_fps, 3)
         extra["latency_ms_b1_method"] = b1_method
+
+    # each row is skippable via POSE6D_BENCH_<NAME>=0
+    for name, fn in (("INT8", _int8_rows), ("FOLDED", _folded_row),
+                     ("MULTIOBJ", _multiobj_row), ("LATENCY", _latency_row)):
+        if int(os.environ.get(f"POSE6D_BENCH_{name}", "1")):
+            optional_row(name.lower(), fn)
     print(
         json.dumps(
             {
