@@ -184,8 +184,13 @@ def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
     elif folded_backbone:
         # folded bf16 serving mode: BN folded into conv weights + Pallas
         # fused layer1 (ops/pallas_block.py). Accuracy gate:
-        # scripts/eval_e2e.py --folded-backbone on trained checkpoints.
-        pipe.fold_backbones(pallas_layer1=True)
+        # scripts/eval_e2e.py --folded-backbone on trained checkpoints. The
+        # fused stem joins once probe_pallas_block.py validates it on-chip
+        # (POSE6D_BENCH_FOLDED_STEM=1).
+        pipe.fold_backbones(
+            pallas_layer1=True,
+            pallas_stem=bool(int(os.environ.get("POSE6D_BENCH_FOLDED_STEM",
+                                                "0"))))
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
     dt = tn - t1

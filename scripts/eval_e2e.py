@@ -153,6 +153,11 @@ def main():
                          "BN folded into conv weights, bf16 activations, f32 "
                          "MXU accumulation + Pallas fused layer1 at img 224) "
                          "— the accuracy gate for bench.py's folded row")
+    ap.add_argument("--folded-stem", action="store_true",
+                    help="with --folded-backbone: also run the fused Pallas "
+                         "stem kernel (conv1+relu+maxpool, img 224 only); "
+                         "gate it only after scripts/probe_pallas_block.py "
+                         "validates the kernel's numerics on-chip")
     ap.add_argument("--max-objects", type=int, default=1,
                     help=">1 evaluates MULTI-OBJECT frames (build_frame_index "
                          "keeps every gt.yml annotation): the pipeline "
@@ -228,7 +233,9 @@ def main():
                       fusion_attention=args.fusion_attention),
     )
     if args.folded_backbone:
-        pipe.fold_backbones(pallas_layer1=(args.img_size == 224))
+        pipe.fold_backbones(pallas_layer1=(args.img_size == 224),
+                            pallas_stem=(args.folded_stem
+                                         and args.img_size == 224))
     evaluator = ADDEvaluator(args.mesh_dir)
 
     if multi:
