@@ -180,7 +180,8 @@ class PosePipeline:
         return self
 
     def fold_backbones(self, pallas_layer1: bool = False,
-                       pallas_stem: bool = False):
+                       pallas_stem: bool = False,
+                       pallas_stages: tuple = ()):
         """Enable the folded bf16 SERVING mode: BN folds into the conv
         weights of every ResNet tower (inference-only identity — removes
         all BN elementwise work from the serving graph) and the towers run
@@ -193,10 +194,11 @@ class PosePipeline:
         Accuracy gate: scripts/eval_e2e.py --folded-backbone. Returns self."""
         from ..ops.quant import fold_bn_resnet
 
-        if (pallas_layer1 or pallas_stem) and self.cfg.img_size != 224:
+        if ((pallas_layer1 or pallas_stem or pallas_stages)
+                and self.cfg.img_size != 224):
             raise ValueError(
-                f"pallas_layer1/pallas_stem require img_size 224 (56x56 "
-                f"layer1 maps), got {self.cfg.img_size}")
+                f"pallas_layer1/pallas_stem/pallas_stages require img_size "
+                f"224 (56x56 layer1 maps), got {self.cfg.img_size}")
         towers = (("rgb_backbone", "depth_backbone")
                   if self.cfg.variant == "rgbd" else ("backbone",))
         fd = {}
@@ -221,6 +223,13 @@ class PosePipeline:
 
                 entry["pallas_stem"] = pack_stem_weights(
                     tree, self.cfg.compute_dtype)
+            if pallas_stages:
+                from ..ops.pallas_block import pack_stage_weights
+
+                entry["pallas_stages"] = {
+                    n: pack_stage_weights(tree, n, self.cfg.compute_dtype)
+                    for n in pallas_stages
+                }
             fd[name] = entry
         self._folded = fd
         return self

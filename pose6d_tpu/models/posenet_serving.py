@@ -134,6 +134,7 @@ def backbone_features(variables: Dict, name: str, x, q: Optional[Dict] = None,
             folded["tree"], x, compute_dtype=compute_dtype,
             pallas_l1=folded.get("pallas_l1"),
             pallas_stem=folded.get("pallas_stem"),
+            pallas_stages=folded.get("pallas_stages"),
         )
     tree = fold_bn_resnet(variables["params"][name],
                           variables["batch_stats"][name])

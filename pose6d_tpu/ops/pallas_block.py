@@ -42,6 +42,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _interpret(flag: bool) -> bool:
+    """Pallas TPU kernels interpret automatically on the CPU backend, so
+    the folded+pallas serving mode stays runnable in CPU tests and the
+    driver's virtual-device dryrun; on TPU the real Mosaic kernel runs."""
+    return flag or jax.default_backend() == "cpu"
+
+
 H = W = 56
 HW = H * W  # 3136 rows, row-major: r = y*56 + x
 CIN = 64  # layer1 input channels (post-maxpool)
@@ -164,8 +171,159 @@ def fused_layer1(x, weights, dtype=jnp.bfloat16, interpret=False):
         out_specs=pl.BlockSpec((1, H, W, COUT), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), x.dtype),
-        interpret=interpret,
+        interpret=_interpret(interpret),
     )(x, *weights)
+
+
+# ------------------------------------------------- parametric fused stages
+#
+# fused_layer1 above is the hand-written special case; the machinery below
+# generalizes the same design — one image per grid step, every bottleneck
+# intermediate VMEM-resident, the 3x3 conv as ONE im2col matmul — to any
+# ResNet50 stage, including a stride-2 block0 (conv2 + 1x1 downsample both
+# subsample the grid; a 1x1/s2 conv is exactly "subsample rows/cols even,
+# then matmul"). Worth running where block-boundary maps are
+# bandwidth-bound: layer2 (28x28x512 boundaries) after layer1; layers 3-4
+# are compute-bound at XLA's conv MFU and stay on the XLA path.
+
+# (name, n_blocks, stride, cin, cmid, cout, h_in, w_in) at 224x224 input
+STAGE_CFGS = {
+    1: ("layer1", 3, 1, 64, 64, 256, 56, 56),
+    2: ("layer2", 4, 2, 256, 128, 512, 56, 56),
+    3: ("layer3", 6, 2, 512, 256, 1024, 28, 28),
+    4: ("layer4", 3, 2, 1024, 512, 2048, 14, 14),
+}
+
+
+def _subsample2(t, h, w):
+    """[h*w, C] row-major -> [h/2 * w/2, C]: keep even rows and columns."""
+    c = t.shape[-1]
+    t = t.reshape(h, w * c).reshape(h // 2, 2, w * c)[:, 0]
+    return t.reshape(h // 2, w // 2, 2, c)[:, :, 0].reshape(-1, c)
+
+
+def _conv3x3_im2col_hw(t, w2cat, h, w, stride):
+    """3x3 same-padding conv (stride 1 or 2) on the [h*w, C] activation via
+    in-VMEM im2col: shifted chunks (stride-2: subsampled to the output
+    grid), ONE [ho*wo, 9C] @ [9C, co] matmul with f32 accumulation."""
+    chunks = [_shift_rows_hw(t, ky - 1, kx - 1, h, w) for ky, kx in _TAPS]
+    if stride == 2:
+        chunks = [_subsample2(ch, h, w) for ch in chunks]
+    patches = jnp.concatenate(chunks, axis=1)
+    return jnp.dot(patches, w2cat[:], preferred_element_type=jnp.float32)
+
+
+def _stage_kernel(x_ref, *refs, dtype, cfg):
+    _, n_blocks, stride, cin, cmid, cout, h, w = cfg
+    ho, wo = h // stride, w // stride
+    x = x_ref[0].reshape(h * w, cin).astype(dtype)
+    args = list(refs[:-1])
+    out_ref = refs[-1]
+
+    def take(n):
+        head, rest = args[:n], args[n:]
+        args[:] = rest
+        return head
+
+    for j in range(n_blocks):
+        bh, bw, bs = (h, w, stride) if j == 0 else (ho, wo, 1)
+        w1, b1, w2, b2, w3, b3 = take(6)
+        if j == 0:
+            wd, bd = take(2)
+            r = x if stride == 1 else _subsample2(x, h, w)
+            shortcut = jnp.dot(r, wd[:], preferred_element_type=jnp.float32
+                               ) + bd[:]
+        else:
+            shortcut = x.astype(jnp.float32)
+        t = jnp.dot(x, w1[:], preferred_element_type=jnp.float32)
+        t = jax.nn.relu(t + b1[:]).astype(dtype)
+        t = _conv3x3_im2col_hw(t, w2, bh, bw, bs)
+        t = jax.nn.relu(t + b2[:]).astype(dtype)
+        y = jnp.dot(t, w3[:], preferred_element_type=jnp.float32) + b3[:]
+        x = jax.nn.relu(y + shortcut).astype(dtype)
+    out_ref[0] = x.reshape(ho, wo, cout).astype(out_ref.dtype)
+
+
+def pack_stage_weights(folded: dict, stage: int, dtype=jnp.bfloat16):
+    """Flatten one stage's BN-folded entries (ops/quant.fold_bn_resnet
+    naming) into the kernel argument tuple — same layout rules as
+    pack_layer1_weights, for any stage."""
+    name, n_blocks, _, _, _, _, _, _ = STAGE_CFGS[stage]
+
+    def w11(n):
+        w = np.asarray(folded[n]["w"])
+        return jnp.asarray(w.reshape(w.shape[2], w.shape[3]), dtype)
+
+    def w33(n):
+        w = np.asarray(folded[n]["w"])
+        return jnp.asarray(w.reshape(9 * w.shape[2], w.shape[3]), dtype)
+
+    def b(n):
+        return jnp.asarray(
+            np.asarray(folded[n]["b"]).reshape(1, -1), jnp.float32)
+
+    args = []
+    for j in range(n_blocks):
+        blk = f"{name}_{j}"
+        args += [w11(f"{blk}/conv1"), b(f"{blk}/conv1"),
+                 w33(f"{blk}/conv2"), b(f"{blk}/conv2"),
+                 w11(f"{blk}/conv3"), b(f"{blk}/conv3")]
+        if j == 0:
+            args += [w11(f"{blk}/downsample"), b(f"{blk}/downsample")]
+    return tuple(args)
+
+
+@functools.partial(jax.jit, static_argnames=("stage", "dtype", "interpret"))
+def fused_stage(x, weights, stage: int, dtype=jnp.bfloat16, interpret=False):
+    """Run one ResNet50 bottleneck stage as a single Pallas kernel.
+    x: [B, h, w, cin] for that stage at 224x224 input; weights: tuple from
+    pack_stage_weights(stage). Returns [B, h/s, w/s, cout] in x.dtype."""
+    cfg = STAGE_CFGS[stage]
+    _, _, stride, cin, _, cout, h, w = cfg
+    B = x.shape[0]
+    ho, wo = h // stride, w // stride
+    full = lambda a: pl.BlockSpec(  # noqa: E731 — whole-array VMEM operand
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stage_kernel, dtype=dtype, cfg=cfg),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, h, w, cin), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [full(a) for a in weights],
+        out_specs=pl.BlockSpec((1, ho, wo, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ho, wo, cout), x.dtype),
+        interpret=_interpret(interpret),
+    )(x, *weights)
+
+
+def reference_stage(x, folded, stage: int, dtype=jnp.float32):
+    """Plain-XLA eval-mode bottleneck stage over the same folded tree (the
+    oracle), mirroring ops/quant.folded_resnet50_forward's per-stage math."""
+    from pose6d_tpu.ops.quant import _conv_f32
+
+    name, n_blocks, stride, _, _, _, _, _ = STAGE_CFGS[stage]
+    x = x.astype(dtype)
+    for j in range(n_blocks):
+        s = stride if j == 0 else 1
+        blk = f"{name}_{j}"
+        if j == 0:
+            r = _conv_f32(x, jnp.asarray(folded[f"{blk}/downsample"]["w"],
+                                         dtype),
+                          folded[f"{blk}/downsample"]["b"], stride=s)
+        else:
+            r = x.astype(jnp.float32)
+        y = _conv_f32(x, jnp.asarray(folded[f"{blk}/conv1"]["w"], dtype),
+                      folded[f"{blk}/conv1"]["b"])
+        y = jax.nn.relu(y).astype(dtype)
+        y = _conv_f32(y, jnp.asarray(folded[f"{blk}/conv2"]["w"], dtype),
+                      folded[f"{blk}/conv2"]["b"], stride=s,
+                      padding=[(1, 1), (1, 1)])
+        y = jax.nn.relu(y).astype(dtype)
+        y = _conv_f32(y, jnp.asarray(folded[f"{blk}/conv3"]["w"], dtype),
+                      folded[f"{blk}/conv3"]["b"])
+        x = jax.nn.relu(y + r).astype(dtype)
+    return x
 
 
 # --------------------------------------------------------------- fused stem
@@ -263,7 +421,7 @@ def fused_stem(x, weights, dtype=jnp.bfloat16, interpret=False):
         out_specs=pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, CIN), x.dtype),
-        interpret=interpret,
+        interpret=_interpret(interpret),
     )(x2, w2cat, b)
 
 

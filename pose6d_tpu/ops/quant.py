@@ -128,7 +128,7 @@ def _resnet_structure():
 
 def folded_resnet50_forward(folded: Dict, x, observer=None,
                             compute_dtype=jnp.float32, pallas_l1=None,
-                            pallas_stem=None):
+                            pallas_stem=None, pallas_stages=None):
     """Forward over the FOLDED params — numerically equal (eval mode) to
     ResNet50.apply at compute_dtype=f32. `observer(name, x)` is called with
     each conv's input (the calibration hook).
@@ -138,11 +138,16 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
     (preferred_element_type), biases add in f32 before the relu re-cast —
     the same numeric contract as ops/pallas_block. `pallas_l1` (a
     pack_layer1_weights tuple) replaces the three layer1 bottleneck blocks
-    with the fused VMEM-resident Pallas kernel, and `pallas_stem` (a
+    with the fused VMEM-resident Pallas kernel; `pallas_stem` (a
     pack_stem_weights pair) replaces conv1+relu+maxpool with the fused
-    space-to-depth stem kernel (the two bandwidth-bound stages, see
-    pallas_block.py); only valid with 224x224 inputs (56x56 layer1 maps)."""
+    space-to-depth stem kernel; `pallas_stages` ({stage_num:
+    pack_stage_weights tuple}) replaces whole bottleneck stages with the
+    parametric fused kernel (bandwidth-bound stages, see pallas_block.py).
+    All only valid with 224x224 inputs (56x56 layer1 maps)."""
     cd = compute_dtype
+    stages = dict(pallas_stages or {})
+    if pallas_l1 is not None and 1 not in stages:
+        stages[1] = None  # sentinel: use the hand-written layer1 kernel
 
     def conv(name, x, stride=1, padding=None):
         if observer is not None:
@@ -167,13 +172,22 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
         x = jax.nn.relu(x).astype(cd)
         x = nn_max_pool(x)
     structure = list(_resnet_structure())
-    if pallas_l1 is not None:
-        from .pallas_block import fused_layer1
-
-        x = fused_layer1(x, pallas_l1, dtype=cd)
-        structure = [(i, j, s) for i, j, s in structure if i != 0]
     for i, j, stride in structure:
-        blk = f"layer{i + 1}_{j}"
+        stage_num = i + 1
+        if stage_num in stages:
+            if j > 0:
+                continue  # whole stage already ran as one kernel
+            if stages[stage_num] is None:  # pallas_l1 compat sentinel
+                from .pallas_block import fused_layer1
+
+                x = fused_layer1(x, pallas_l1, dtype=cd)
+            else:
+                from .pallas_block import fused_stage
+
+                x = fused_stage(x, stages[stage_num], stage=stage_num,
+                                dtype=cd)
+            continue
+        blk = f"layer{stage_num}_{j}"
         r = x
         y = jax.nn.relu(conv(f"{blk}/conv1", x)).astype(cd)
         y = jax.nn.relu(conv(f"{blk}/conv2", y, stride, [(1, 1), (1, 1)])).astype(cd)

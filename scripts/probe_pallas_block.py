@@ -175,6 +175,68 @@ def main():
         print(f"[stem result] pallas_stem is {sp:.2f}x vs XLA "
               f"({srows['xla_stem']:.3f} -> {srows['pallas_stem']:.3f} ms)")
 
+    # ---- 4. parametric fused layer2 (stride-2 block0), same protocol ------
+    from pose6d_tpu.ops.pallas_block import (
+        fused_stage, pack_stage_weights, reference_stage)
+    from tests.test_pallas_block import _random_stage
+
+    l2_folded = _random_stage(rng, 2)
+    x2 = jnp.asarray(rng.standard_normal((B, 56, 56, 256)) * 0.5,
+                     jnp.bfloat16)
+    w2_bf16 = pack_stage_weights(l2_folded, 2, jnp.bfloat16)
+
+    got = np.asarray(fused_stage(x2[:4], w2_bf16, stage=2,
+                                 dtype=jnp.bfloat16), np.float32)
+    oracle = np.asarray(reference_stage(x2[:4].astype(jnp.float32),
+                                        l2_folded, 2, jnp.float32))
+    err = np.abs(got - oracle)
+    scale = oracle.std()
+    print(f"[layer2 numerics] mean|err|={err.mean():.5f} "
+          f"max|err|={err.max():.5f} oracle std={scale:.4f}")
+    if err.mean() > 0.02 * scale or err.max() > 0.3 * scale:
+        print("[layer2 numerics] FAIL — stage kernel out of envelope on "
+              "chip; not timing it (earlier results stand).")
+        sys.exit(0)
+    print("[layer2 numerics] OK (within bf16 envelope of the f32 oracle)")
+
+    l2_bf16 = {k: {"w": jnp.asarray(v["w"], jnp.bfloat16),
+                   "b": jnp.asarray(v["b"], jnp.float32)}
+               for k, v in l2_folded.items()}
+
+    def xla_l2(x, w):
+        return reference_stage(x, l2_bf16, 2, jnp.bfloat16)
+
+    def pallas_l2(x, w):
+        return fused_stage(x, w, stage=2, dtype=jnp.bfloat16)
+
+    lrows = {}
+    for name, step, w in [("xla_layer2", xla_l2, ()),
+                          ("pallas_layer2", pallas_l2, w2_bf16)]:
+        t1 = timed_chain(step, x2, 1, w)
+        tn = timed_chain(step, x2, 1 + args.chain, w)
+        dt = tn - t1
+        if dt <= 0.02:
+            print(f"[{name}] dt={dt:.4f}s too small to trust — raise --chain")
+            continue
+        ms = dt / args.chain * 1e3
+        # layer2 FLOPs/image: b0 conv1 3136*256*128*2 + conv2 784*1152*128*2
+        # + conv3 784*128*512*2 + ds 784*256*512*2; b1-3 as in blocks
+        b0 = (3136 * 256 * 128 + 784 * 1152 * 128 + 784 * 128 * 512
+              + 784 * 256 * 512) * 2
+        bi = (784 * 512 * 128 + 784 * 1152 * 128 + 784 * 128 * 512) * 2
+        gf_img = (b0 + 3 * bi) / 1e9
+        mfu = gf_img * B / (ms / 1e3) / 197e3
+        gb = B * (56 * 56 * 256 + 28 * 28 * 512) * 2 / 1e9
+        bw = gb / (ms / 1e3)
+        lrows[name] = ms
+        print(f"[{name}] {ms:.3f} ms/batch{B}  "
+              f"({mfu * 100:.1f}% MFU, {bw:.0f} GB/s min-traffic)")
+
+    if len(lrows) == 2:
+        sp = lrows["xla_layer2"] / lrows["pallas_layer2"]
+        print(f"[layer2 result] pallas_layer2 is {sp:.2f}x vs XLA "
+              f"({lrows['xla_layer2']:.3f} -> {lrows['pallas_layer2']:.3f} ms)")
+
 
 if __name__ == "__main__":
     main()

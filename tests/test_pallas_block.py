@@ -157,3 +157,99 @@ def test_fused_stem_depth_tower_1ch(rng):
     want = reference_stem(x, folded, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def _random_stage(rng, stage, scale=0.05):
+    from pose6d_tpu.ops.pallas_block import STAGE_CFGS
+
+    name, n_blocks, _, cin, cmid, cout, _, _ = STAGE_CFGS[stage]
+    folded = {}
+
+    def entry(n, ci, co, k=1):
+        folded[n] = {
+            "w": rng.standard_normal((k, k, ci, co)).astype(np.float32) * scale,
+            "b": rng.standard_normal((co,)).astype(np.float32) * scale,
+        }
+
+    for j in range(n_blocks):
+        blk = f"{name}_{j}"
+        entry(f"{blk}/conv1", cin if j == 0 else cout, cmid)
+        entry(f"{blk}/conv2", cmid, cmid, k=3)
+        entry(f"{blk}/conv3", cmid, cout)
+    entry(f"{name}_0/downsample", cin, cout)
+    return folded
+
+
+@pytest.mark.parametrize("stage", [1, 2])
+def test_fused_stage_matches_xla_f32(rng, stage):
+    """The parametric stage kernel reproduces XLA's bottleneck math exactly
+    at f32 — stage 1 (stride 1) and stage 2 (stride-2 block0: strided
+    im2col + subsampled 1x1 downsample)."""
+    from pose6d_tpu.ops.pallas_block import (
+        STAGE_CFGS, fused_stage, pack_stage_weights, reference_stage)
+
+    _, _, stride, cin, _, cout, h, w = STAGE_CFGS[stage]
+    folded = _random_stage(rng, stage)
+    x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+    got = fused_stage(x, pack_stage_weights(folded, stage, jnp.float32),
+                      stage=stage, dtype=jnp.float32, interpret=True)
+    want = reference_stage(x, folded, stage, jnp.float32)
+    assert got.shape == (2, h // stride, w // stride, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stage1_equals_fused_layer1(rng):
+    """Stage 1 of the parametric kernel is the hand-written fused_layer1."""
+    from pose6d_tpu.ops.pallas_block import fused_stage, pack_stage_weights
+
+    folded = _random_folded(rng)
+    x = jnp.asarray(rng.standard_normal((1, 56, 56, 64)), jnp.float32)
+    a = fused_stage(x, pack_stage_weights(folded, 1, jnp.float32),
+                    stage=1, dtype=jnp.float32, interpret=True)
+    b = fused_layer1(x, pack_layer1_weights(folded, jnp.float32),
+                     dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_fused_stage2_bf16_close_to_f32_oracle(rng):
+    from pose6d_tpu.ops.pallas_block import (
+        fused_stage, pack_stage_weights, reference_stage)
+
+    folded = _random_stage(rng, 2)
+    x = jnp.asarray(rng.standard_normal((1, 56, 56, 256)), jnp.bfloat16)
+    got = fused_stage(x, pack_stage_weights(folded, 2, jnp.bfloat16),
+                      stage=2, dtype=jnp.bfloat16, interpret=True)
+    want = np.asarray(
+        reference_stage(x.astype(jnp.float32), folded, 2, jnp.float32))
+    err = np.abs(np.asarray(got, np.float32) - want)
+    scale = want.std()
+    assert np.mean(err) < 0.02 * scale
+    assert np.max(err) < 0.3 * scale
+
+
+@pytest.mark.slow
+def test_folded_forward_with_pallas_prefix_matches_plain(rng):
+    """End-to-end tower integration: folded_resnet50_forward with the fused
+    stem + fused stages 1-2 (interpret on CPU) equals the plain folded
+    forward at f32 — the exact graph eval_e2e --folded-backbone serves."""
+    from pose6d_tpu.ops.pallas_block import (
+        pack_stage_weights, pack_stem_weights)
+    from pose6d_tpu.ops.quant import folded_resnet50_forward
+
+    folded = {}
+    for s in (1, 2, 3, 4):
+        folded.update(_random_stage(rng, s, scale=0.04))
+    folded.update(_random_stem(rng, scale=0.04))
+
+    x = jnp.asarray(rng.standard_normal((1, 224, 224, 3)), jnp.float32)
+    want = folded_resnet50_forward(folded, x)
+    got = folded_resnet50_forward(
+        folded, x,
+        pallas_stem=pack_stem_weights(folded, jnp.float32),
+        pallas_stages={s: pack_stage_weights(folded, s, jnp.float32)
+                       for s in (1, 2)},
+    )
+    assert got.shape == want.shape == (1, 2048)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
