@@ -241,3 +241,30 @@ def test_int8_detector_pipeline(frames, K):
 
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
+
+
+def test_sharded_folded_pipeline(frames, K):
+    """folded-bf16 serving mode composed with mesh sharding: the folded
+    trees ride as (replicated) jit arguments like the int8 trees — outputs
+    must match the same folded pipeline run unsharded."""
+    from pose6d_tpu.parallel import make_mesh
+
+    r = np.random.default_rng(5)
+    frames8 = r.integers(0, 255, size=(8, 96, 128, 3), dtype=np.uint8)
+
+    pipe = _make_pipeline("rgb")
+    pipe.fold_backbones()
+    ref = {k: np.asarray(v) for k, v in pipe(frames8, K).items()
+           if k != "detections"}
+
+    sharded = _make_pipeline("rgb")
+    sharded.yolo_variables = pipe.yolo_variables
+    sharded.pose_variables = pipe.pose_variables
+    sharded = sharded.shard(make_mesh((4, 2)))
+    sharded._folded = pipe._folded  # same folded trees
+    out = sharded(frames8, K)
+    assert len(out["rotation"].sharding.device_set) == 8
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref[k], rtol=1e-3, atol=1e-4, err_msg=k
+        )
