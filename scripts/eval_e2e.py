@@ -158,6 +158,11 @@ def main():
                          "stem kernel (conv1+relu+maxpool, img 224 only); "
                          "gate it only after scripts/probe_pallas_block.py "
                          "validates the kernel's numerics on-chip")
+    ap.add_argument("--checkpoint", default="best", choices=["best", "last"],
+                    help="which Trainer checkpoint to deploy; 'last' "
+                         "quantifies best-by-val-acc selection luck on the "
+                         "fixture's noisy val metric (the selection rule "
+                         "itself keeps reference parity)")
     ap.add_argument("--max-objects", type=int, default=1,
                     help=">1 evaluates MULTI-OBJECT frames (build_frame_index "
                          "keeps every gt.yml annotation): the pipeline "
@@ -215,7 +220,8 @@ def main():
     pcfg = get_preset(args.variant, img_size=args.img_size,
                       rot_head_wide=args.rot_head_wide,
                       fusion_attention=args.fusion_attention)
-    pvars = load_model_variables(args.pose_weights, pcfg)
+    pvars = load_model_variables(args.pose_weights, pcfg,
+                                 name=args.checkpoint)
     if pvars is None:
         sys.exit(f"no pose checkpoint in {args.pose_weights}")
 
