@@ -187,10 +187,13 @@ def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
         # scripts/eval_e2e.py --folded-backbone on trained checkpoints. The
         # fused stem joins once probe_pallas_block.py validates it on-chip
         # (POSE6D_BENCH_FOLDED_STEM=1).
+        stages = tuple(int(s) for s in os.environ.get(
+            "POSE6D_BENCH_FOLDED_STAGES", "").split(",") if s)
         pipe.fold_backbones(
-            pallas_layer1=True,
+            pallas_layer1=1 not in stages,
             pallas_stem=bool(int(os.environ.get("POSE6D_BENCH_FOLDED_STEM",
-                                                "0"))))
+                                                "0"))),
+            pallas_stages=stages)
     t1 = _timed_chain(pipe, frames, K, 1)
     tn = _timed_chain(pipe, frames, K, 1 + chain)
     dt = tn - t1

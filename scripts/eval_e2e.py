@@ -158,6 +158,11 @@ def main():
                          "stem kernel (conv1+relu+maxpool, img 224 only); "
                          "gate it only after scripts/probe_pallas_block.py "
                          "validates the kernel's numerics on-chip")
+    ap.add_argument("--folded-stages", default="",
+                    help="with --folded-backbone: comma list of ResNet "
+                         "stages (e.g. '2' or '1,2') to run as parametric "
+                         "fused Pallas stage kernels (img 224 only; stage 1 "
+                         "here replaces the default fused layer1)")
     ap.add_argument("--checkpoint", default="best", choices=["best", "last"],
                     help="which Trainer checkpoint to deploy; 'last' "
                          "quantifies best-by-val-acc selection luck on the "
@@ -239,9 +244,12 @@ def main():
                       fusion_attention=args.fusion_attention),
     )
     if args.folded_backbone:
-        pipe.fold_backbones(pallas_layer1=(args.img_size == 224),
+        stages = tuple(int(s) for s in args.folded_stages.split(",") if s)
+        pipe.fold_backbones(pallas_layer1=(args.img_size == 224
+                                           and 1 not in stages),
                             pallas_stem=(args.folded_stem
-                                         and args.img_size == 224))
+                                         and args.img_size == 224),
+                            pallas_stages=stages)
     evaluator = ADDEvaluator(args.mesh_dir)
 
     if multi:
