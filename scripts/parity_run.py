@@ -31,6 +31,12 @@ def summarize_variant(save_dir: str, best: float) -> dict:
     with open(os.path.join(save_dir, "metrics.csv")) as f:
         for row in csv.DictReader(f):
             rows.append({k: float(v) for k, v in row.items()})
+    # a resume after a clipped run re-logs its restart window (the pre-kill
+    # rows 66..clip belong to an abandoned branch): keep the LAST occurrence
+    # of each epoch so epochs_run and the final/best markers describe the
+    # trajectory that actually produced the checkpoints
+    rows = list({int(r["epoch"]): r for r in rows}.values())
+    rows.sort(key=lambda r: r["epoch"])
     best_row = max(rows, key=lambda r: r["val_acc"])
     first_hit = next((r for r in rows if r["val_acc"] >= 0.5 * best), None)
     return {
