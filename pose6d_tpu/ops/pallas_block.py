@@ -51,6 +51,17 @@ def _interpret(flag: bool) -> bool:
 
 H = W = 56
 HW = H * W  # 3136 rows, row-major: r = y*56 + x
+
+# Mosaic budgets kernel stack allocations against a 16 MiB default scoped
+# VMEM limit; the fused kernels' per-image working sets (patch matrix + f32
+# accumulators + roll temporaries) exceed it (bench round 4: fused_layer1
+# asked 28.5 MiB). v5e has 128 MiB of physical VMEM — raise the budget,
+# leaving headroom for the pipeline's double-buffered operands. The batch
+# grid is embarrassingly parallel (disjoint image blocks per step).
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=96 * 1024 * 1024,
+)
 CIN = 64  # layer1 input channels (post-maxpool)
 CMID = 64  # bottleneck mid width
 COUT = 256  # expansion 4
@@ -67,8 +78,19 @@ def _shift_rows_hw(t, dy, dx, h, w):
     off = dy * w + dx
     # pltpu.roll requires a non-negative shift; the roll is circular, so
     # chunk[r] = t[r + off] is shift (-off) mod h*w (edge wraparound rows
-    # are zeroed by the validity mask below)
-    rolled = pltpu.roll(t, (-off) % (h * w), axis=0) if off else t
+    # are zeroed by the validity mask below). Mosaic lowers roll to
+    # tpu.dynamic_rotate, implemented for 32-bit data only (probe round 4:
+    # "Rotate with non-32-bit data" on bf16) — sub-32-bit inputs round-trip
+    # through f32, which is exact for bf16 and VMEM-local either way.
+    if off:
+        shift = (-off) % (h * w)
+        if jnp.dtype(t.dtype).itemsize < 4:
+            rolled = pltpu.roll(t.astype(jnp.float32), shift,
+                                axis=0).astype(t.dtype)
+        else:
+            rolled = pltpu.roll(t, shift, axis=0)
+    else:
+        rolled = t
     r = jax.lax.broadcasted_iota(jnp.int32, (h * w, 1), 0)
     y, x = r // w, r % w
     valid = (y + dy >= 0) & (y + dy < h) & (x + dx >= 0) & (x + dx < w)
@@ -171,6 +193,7 @@ def fused_layer1(x, weights, dtype=jnp.bfloat16, interpret=False):
         out_specs=pl.BlockSpec((1, H, W, COUT), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, COUT), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(interpret),
     )(x, *weights)
 
@@ -293,6 +316,7 @@ def fused_stage(x, weights, stage: int, dtype=jnp.bfloat16, interpret=False):
         out_specs=pl.BlockSpec((1, ho, wo, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, ho, wo, cout), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(interpret),
     )(x, *weights)
 
@@ -421,6 +445,7 @@ def fused_stem(x, weights, dtype=jnp.bfloat16, interpret=False):
         out_specs=pl.BlockSpec((1, H, W, CIN), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W, CIN), x.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(interpret),
     )(x2, w2cat, b)
 
