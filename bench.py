@@ -182,15 +182,20 @@ def bench_e2e(batch_size=128, chain=200, variant="rgb", int8_backbone=False,
         pipe.quantize_backbones(np.asarray(frames), np.asarray(K),
                                 include_detector=True)
     elif folded_backbone:
-        # folded bf16 serving mode: BN folded into conv weights + Pallas
-        # fused layer1 (ops/pallas_block.py). Accuracy gate:
-        # scripts/eval_e2e.py --folded-backbone on trained checkpoints. The
-        # fused stem joins once probe_pallas_block.py validates it on-chip
-        # (POSE6D_BENCH_FOLDED_STEM=1).
+        # folded bf16 serving mode: BN folded into conv weights (exact
+        # eval-mode identity, plain XLA convs). Accuracy gate:
+        # scripts/eval_e2e.py --folded-backbone on trained checkpoints.
+        # The Pallas fused kernels stay OPT-IN (POSE6D_BENCH_FOLDED_PALLAS /
+        # _STEM / _STAGES): the on-chip probe (probe_pallas_block.py) has to
+        # clear Mosaic numerics+lowering first — round 4 found three real
+        # constraints there (sub-32-bit dynamic_rotate, 16 MiB scoped-VMEM
+        # default, layout-unsupported shape casts in im2col reshapes;
+        # parity/logs/probe_pallas_block*.log).
         stages = tuple(int(s) for s in os.environ.get(
             "POSE6D_BENCH_FOLDED_STAGES", "").split(",") if s)
         pipe.fold_backbones(
-            pallas_layer1=1 not in stages,
+            pallas_layer1=bool(int(os.environ.get(
+                "POSE6D_BENCH_FOLDED_PALLAS", "0"))) and 1 not in stages,
             pallas_stem=bool(int(os.environ.get("POSE6D_BENCH_FOLDED_STEM",
                                                 "0"))),
             pallas_stages=stages)

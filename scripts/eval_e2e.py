@@ -153,6 +153,10 @@ def main():
                          "BN folded into conv weights, bf16 activations, f32 "
                          "MXU accumulation + Pallas fused layer1 at img 224) "
                          "— the accuracy gate for bench.py's folded row")
+    ap.add_argument("--folded-pallas", action="store_true",
+                    help="with --folded-backbone: run layer1 as the fused "
+                         "Pallas kernel (opt-in until probe_pallas_block.py "
+                         "clears Mosaic numerics+lowering on chip)")
     ap.add_argument("--folded-stem", action="store_true",
                     help="with --folded-backbone: also run the fused Pallas "
                          "stem kernel (conv1+relu+maxpool, img 224 only); "
@@ -245,7 +249,8 @@ def main():
     )
     if args.folded_backbone:
         stages = tuple(int(s) for s in args.folded_stages.split(",") if s)
-        pipe.fold_backbones(pallas_layer1=(args.img_size == 224
+        pipe.fold_backbones(pallas_layer1=(args.folded_pallas
+                                           and args.img_size == 224
                                            and 1 not in stages),
                             pallas_stem=(args.folded_stem
                                          and args.img_size == 224),
