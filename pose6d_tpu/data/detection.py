@@ -75,6 +75,53 @@ def _scan_detection_samples(source_root: str) -> Tuple[List[dict], List[str]]:
     return samples, obj_folders
 
 
+def _scan_scene_samples(
+    scene_root: str, class_names: List[str], max_gt: int
+) -> List[dict]:
+    """Per-FRAME samples from a multi-object scene tree (the layout
+    `generate_synthetic_scene` writes and real LineMOD's folder 02 uses: one
+    folder whose gt.yml lists one annotation per object per frame). Every
+    annotation whose obj_id maps into `class_names` (the single-object
+    dataset's sorted folder list — class ids stay consistent with the
+    detector being fine-tuned) fills one GT slot; frames keep the standard
+    index-based split so train/val/test never mix."""
+    from .linemod import split_of_index
+
+    samples: List[dict] = []
+    folders = [f for f in sorted(os.listdir(scene_root)) if f.isdigit()]
+    for folder in folders:
+        base = os.path.join(scene_root, folder)
+        rgb_dir = os.path.join(base, "rgb")
+        gt_path = os.path.join(base, "gt.yml")
+        if not (os.path.isdir(rgb_dir) and os.path.exists(gt_path)):
+            continue
+        with open(gt_path, "r") as f:
+            gts = yaml.safe_load(f)
+        images = sorted(i for i in os.listdir(rgb_dir) if i.endswith(".png"))
+        for i, img_name in enumerate(images):
+            frame_id = int(img_name.split(".")[0])
+            annos = []
+            for a in gts.get(frame_id, ()):
+                key = str(int(a["obj_id"])).zfill(2)
+                if key not in class_names:
+                    continue
+                annos.append(
+                    (np.asarray(a["obj_bb"], np.float32), class_names.index(key))
+                )
+            if not annos:
+                continue
+            samples.append(
+                {
+                    "img_path": os.path.join(rgb_dir, img_name),
+                    "folder": folder,
+                    "annos": annos[:max_gt],
+                    "split": split_of_index(i),
+                    "name": f"scene{folder}_{img_name}",
+                }
+            )
+    return samples
+
+
 def prepare_yolo_dataset(source_root: str, dest_root: str) -> dict:
     """Write the YOLO-format tree. Returns per-split counts."""
     import cv2
@@ -127,10 +174,18 @@ class DetectionLoader:
         mode: str = "train",
         img_size: int = 640,
         max_gt: int = 8,
+        scene_roots: Tuple[str, ...] = (),
     ):
         samples, obj_folders = _scan_detection_samples(source_root)
         self.samples = [s for s in samples if s["split"] == mode]
         self.class_names = obj_folders
+        # multi-object scene trees (per-frame samples, all GT slots) mix in
+        # with the single-object frames — class ids stay the source_root's
+        for root in scene_roots:
+            self.samples += [
+                s for s in _scan_scene_samples(root, obj_folders, max_gt)
+                if s["split"] == mode
+            ]
         self.num_classes = len(obj_folders)
         self.img_size = img_size
         self.max_gt = max_gt
@@ -156,22 +211,20 @@ class DetectionLoader:
         canvas = np.full((self.img_size, self.img_size, 3), 114, np.uint8)
         canvas[pad_t : pad_t + nh, pad_l : pad_l + nw] = resized
 
-        x, y, bw, bh = s["bbox"]
-        box_xyxy = np.asarray(
-            [
+        annos = s.get("annos") or [(s["bbox"], s["class_id"])]
+        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int32)
+        gt_mask = np.zeros((self.max_gt,), bool)
+        for slot, (bbox, class_id) in enumerate(annos[: self.max_gt]):
+            x, y, bw, bh = bbox
+            gt_boxes[slot] = (
                 x * scale + pad_l,
                 y * scale + pad_t,
                 (x + bw) * scale + pad_l,
                 (y + bh) * scale + pad_t,
-            ],
-            np.float32,
-        )
-        gt_boxes = np.zeros((self.max_gt, 4), np.float32)
-        gt_labels = np.zeros((self.max_gt,), np.int32)
-        gt_mask = np.zeros((self.max_gt,), bool)
-        gt_boxes[0] = box_xyxy
-        gt_labels[0] = s["class_id"]
-        gt_mask[0] = True
+            )
+            gt_labels[slot] = class_id
+            gt_mask[slot] = True
         return {
             # uint8: 4x fewer H2D bytes than float32; the jitted consumers
             # convert on device (ops.augment.to_float01, bit-exact)

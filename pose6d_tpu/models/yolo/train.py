@@ -311,12 +311,18 @@ class DetectionTrainer:
         cfg: DetTrainConfig = DetTrainConfig(),
         ycfg: Optional[YoloConfig] = None,
         num_workers: int = 0,
+        scene_roots: Tuple[str, ...] = (),
     ):
         from ...data.detection import DetectionLoader
 
         self.cfg = cfg
-        self.train_loader = DetectionLoader(source_root, "train", cfg.img_size)
-        self.val_loader = DetectionLoader(source_root, "val", cfg.img_size)
+        # scene_roots: multi-object scene trees (data/detection.py
+        # _scan_scene_samples) mixed into BOTH splits — the fine-tune path
+        # for multi-object recall (eval_e2e --max-objects measures it e2e)
+        self.train_loader = DetectionLoader(
+            source_root, "train", cfg.img_size, scene_roots=scene_roots)
+        self.val_loader = DetectionLoader(
+            source_root, "val", cfg.img_size, scene_roots=scene_roots)
         self.ycfg = ycfg or YoloConfig(num_classes=self.train_loader.num_classes)
         self.model = YoloV8(self.ycfg)
 

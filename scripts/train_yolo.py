@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--scene-roots", default="",
+                    help="comma list of multi-object scene trees "
+                         "(generate_synthetic_scene layout) mixed into both "
+                         "splits — fine-tune for multi-object recall. "
+                         "Combine with a save-dir holding an existing "
+                         "checkpoint and a larger --epochs to resume-fine-tune "
+                         "the single-object detector on scenes.")
     args = ap.parse_args()
 
     from pose6d_tpu.models.yolo.train import DetTrainConfig, DetectionTrainer
@@ -33,7 +40,9 @@ def main():
         img_size=args.img_size, batch_size=args.batch_size,
         epochs=args.epochs, seed=args.seed,
     )
-    trainer = DetectionTrainer(args.data_root, args.save_dir, cfg)
+    scene_roots = tuple(s for s in args.scene_roots.split(",") if s)
+    trainer = DetectionTrainer(args.data_root, args.save_dir, cfg,
+                               scene_roots=scene_roots)
     print(
         f"Training YOLOv8n: {len(trainer.train_loader)} train / "
         f"{len(trainer.val_loader)} val images, {trainer.ycfg.num_classes} classes"

@@ -73,3 +73,30 @@ def test_class_id_is_folder_index(synth):
     loader = DetectionLoader(synth["data"], "train")
     ids = {s["folder"]: s["class_id"] for s in loader.samples}
     assert ids == {"01": 0, "02": 1}
+
+
+def test_detection_loader_scene_roots(synth, tmp_path_factory):
+    # multi-object scene trees mix per-FRAME samples (all GT slots filled)
+    # into the single-object stream, with class ids mapped through the
+    # single-object folder list — the fine-tune path for multi-object recall
+    from pose6d_tpu.data.synthetic import (
+        generate_synthetic_scene, recover_object_colors)
+
+    colors = recover_object_colors(synth["data"])
+    scene_root = str(tmp_path_factory.mktemp("scene"))
+    generate_synthetic_scene(scene_root, {k: colors[k] for k in (1, 2)},
+                             frames=10, seed=3, write_models=False)
+    base = DetectionLoader(synth["data"], "train", img_size=320)
+    loader = DetectionLoader(synth["data"], "train", img_size=320,
+                             scene_roots=(os.path.join(scene_root, "data"),))
+    assert loader.num_classes == 2  # class list stays the source_root's
+    extra = len(loader) - len(base)
+    assert extra > 0  # scene frames joined the train split
+    s = loader.load_sample(len(loader) - 1)  # scene samples append at the end
+    assert s["gt_mask"].sum() == 2  # both objects fill GT slots
+    assert set(s["gt_labels"][s["gt_mask"]]) == {0, 1}
+    for b in s["gt_boxes"][s["gt_mask"]]:
+        assert 0 <= b[0] < b[2] <= 320 and 0 <= b[1] < b[3] <= 320
+    # single-object samples are untouched by the mix-in
+    s0 = loader.load_sample(0)
+    assert s0["gt_mask"].sum() == 1
