@@ -167,6 +167,12 @@ def main():
                          "stages (e.g. '2' or '1,2') to run as parametric "
                          "fused Pallas stage kernels (img 224 only; stage 1 "
                          "here replaces the default fused layer1)")
+    ap.add_argument("--yolo-checkpoint", default="best",
+                    choices=["best", "last"],
+                    help="which detector checkpoint to deploy; 'last' pins "
+                         "a resumed fine-tune's final weights even when its "
+                         "harder mixed-val mAP never beats the pre-fine-tune "
+                         "best (load_yolo_variables prefers 'best')")
     ap.add_argument("--checkpoint", default="best", choices=["best", "last"],
                     help="which Trainer checkpoint to deploy; 'last' "
                          "quantifies best-by-val-acc selection luck on the "
@@ -223,7 +229,8 @@ def main():
     cls_to_objid = {i: int(f) - 1 for i, f in enumerate(folders)}
 
     ycfg = YoloConfig(num_classes=len(folders))
-    yvars = load_yolo_variables(args.yolo_weights, ycfg)
+    yvars = load_yolo_variables(args.yolo_weights, ycfg,
+                                prefer=args.yolo_checkpoint)
     if yvars is None:
         sys.exit(f"no detector checkpoint in {args.yolo_weights}")
     pcfg = get_preset(args.variant, img_size=args.img_size,
