@@ -100,3 +100,34 @@ def test_detection_loader_scene_roots(synth, tmp_path_factory):
     # single-object samples are untouched by the mix-in
     s0 = loader.load_sample(0)
     assert s0["gt_mask"].sum() == 1
+
+
+def test_load_yolo_variables_prefer(tmp_path):
+    # eval_e2e --yolo-checkpoint plumbing: a resumed fine-tune's save-dir
+    # keeps a pre-fine-tune 'best' (its harder mixed val may never beat the
+    # old single-object mAP), so deploying the fine-tuned weights needs
+    # prefer='last' to actually load them.
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from pose6d_tpu.models.yolo.train import YoloConfig, load_yolo_variables
+
+    ckpt = ocp.StandardCheckpointer()
+    save_dir = tmp_path / "yolo_ckpt"
+    for name, val in (("best", 1.0), ("last", 2.0)):
+        ckpt.save(str(save_dir / name),
+                  {"ema_params": {"w": np.full((4,), val, np.float32)},
+                   "batch_stats": {}})
+    ckpt.wait_until_finished()
+
+    ycfg = YoloConfig(num_classes=2)
+    default = load_yolo_variables(str(save_dir), ycfg)
+    pinned = load_yolo_variables(str(save_dir), ycfg, prefer="last")
+    assert float(jnp.ravel(default["params"]["w"])[0]) == 1.0
+    assert float(jnp.ravel(pinned["params"]["w"])[0]) == 2.0
+    # a dir with only 'last' still resolves under the default preference
+    import shutil
+
+    shutil.rmtree(save_dir / "best")
+    fallback = load_yolo_variables(str(save_dir), ycfg)
+    assert float(jnp.ravel(fallback["params"]["w"])[0]) == 2.0
