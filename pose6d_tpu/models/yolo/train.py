@@ -182,9 +182,26 @@ def make_det_train_step(model: YoloV8, tx, cfg: DetTrainConfig, ycfg: YoloConfig
             return losses["total"], (losses, updates)
 
         (total, (losses, updates)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # Skip nonfinite steps (ultralytics' AMP GradScaler analogue).
+        # Without this, ONE inf/nan gradient is fatal: clip_by_global_norm's
+        # scale becomes 0 * inf = NaN and every parameter is nuked in a
+        # single step (observed on a resumed scene fine-tune, round 4).
+        # Zeroing grads — rather than wrapping tx in optax.apply_if_finite /
+        # zero_nans — keeps the opt_state TREE unchanged, so existing
+        # checkpoints stay restorable; zeroing the update keeps params and
+        # running batch_stats bitwise-untouched on the skipped step.
+        finite = jnp.isfinite(total)
+        for g in jax.tree.leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
         update, opt_state = tx.update(grads, opt_state, params)
+        update = jax.tree.map(lambda u: jnp.where(finite, u, 0.0), update)
         params = optax.apply_updates(params, update)
-        return params, updates.get("batch_stats", batch_stats), opt_state, losses
+        new_bs = updates.get("batch_stats", batch_stats)
+        new_bs = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_bs, batch_stats
+        )
+        return params, new_bs, opt_state, losses
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -429,7 +446,16 @@ class DetectionTrainer:
         # and also forces execution of the whole lazy dispatch chain)
         if not losses_dev:
             return 0.0
-        return float(np.mean(np.asarray(jnp.stack(losses_dev))))
+        arr = np.asarray(jnp.stack(losses_dev))
+        n_bad = int(np.count_nonzero(~np.isfinite(arr)))
+        if n_bad:
+            # those steps were skipped by the train-step guard; the mean over
+            # the finite steps is the honest epoch loss
+            print(f"[yolo] epoch {epoch + 1}: skipped {n_bad}/{arr.size} "
+                  f"nonfinite step(s)")
+            if n_bad == arr.size:
+                return float("nan")
+        return float(np.nanmean(arr))
 
     def validate_map50(self, rng: np.random.Generator) -> float:
         # accumulate detections ON DEVICE across the whole split, then fetch

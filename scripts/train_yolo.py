@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="peak learning rate (default: DetTrainConfig's "
+                         "1e-3). Resume-fine-tunes restart the stretched "
+                         "warmup-cosine near its PEAK — a converged "
+                         "checkpoint wants ~1e-4 here, not the from-scratch "
+                         "default (a 6.6e-4 resume measurably diverged).")
     ap.add_argument("--scene-roots", default="",
                     help="comma list of multi-object scene trees "
                          "(generate_synthetic_scene layout) mixed into both "
@@ -39,6 +45,7 @@ def main():
     cfg = DetTrainConfig(
         img_size=args.img_size, batch_size=args.batch_size,
         epochs=args.epochs, seed=args.seed,
+        **({"learning_rate": args.lr} if args.lr is not None else {}),
     )
     scene_roots = tuple(s for s in args.scene_roots.split(",") if s)
     trainer = DetectionTrainer(args.data_root, args.save_dir, cfg,

@@ -147,3 +147,40 @@ def test_full_state_resume_and_best_gating(synth, tmp_path):
 
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
+
+
+def test_nonfinite_step_is_skipped(synth, tmp_path):
+    # the AMP-GradScaler analogue: a batch that produces inf/nan gradients
+    # must leave params, batch_stats AND future steps intact (one bad step
+    # otherwise nukes every parameter through clip_by_global_norm's
+    # 0 * inf = NaN scale — observed on a resumed scene fine-tune).
+    cfg = DetTrainConfig(img_size=IMG, batch_size=4, epochs=1, seed=0)
+    t = DetectionTrainer(synth["data"], str(tmp_path / "ckpt"), cfg)
+    rng = np.random.default_rng(0)
+    batch = next(iter(t.train_loader.batches(4, rng, shuffle=False)))
+    key = jax.random.key(0)
+
+    poisoned = dict(batch)
+    img = np.asarray(batch["image"], np.float32).copy()
+    img[0, 0, 0, :] = np.inf
+    poisoned["image"] = img
+
+    p0 = jax.tree.map(lambda x: np.asarray(x), t.params)
+    bs0 = jax.tree.map(lambda x: np.asarray(x), t.batch_stats)
+    params, batch_stats, opt_state, losses = t.step_fn(
+        t.params, t.batch_stats, t.opt_state, poisoned, key)
+    assert not np.isfinite(float(losses["total"]))
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(batch_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    # training continues normally from the survived state
+    params2, _, _, losses2 = t.step_fn(
+        params, batch_stats, opt_state, batch, key)
+    assert np.isfinite(float(losses2["total"]))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2))
+    )
+    assert changed
