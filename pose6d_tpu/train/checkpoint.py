@@ -19,6 +19,10 @@ import orbax.checkpoint as ocp
 
 LAST_NAME = "last"
 BEST_NAME = "best"
+# best by the DEPLOYMENT-ALIGNED val metric (pinhole-corrected X/Y; see
+# train/loop.make_eval_step): the reference's selection rule stays `best`
+# for parity, this third checkpoint quantifies the selection mismatch
+BEST_DEPLOY_NAME = "best_deploy"
 
 
 class CheckpointManager:
@@ -31,7 +35,8 @@ class CheckpointManager:
         return os.path.join(self.save_dir, name)
 
     def save(self, state: Any, epoch: int, best_acc: float, curr_acc: float,
-             curr_add: float, scheduler_state: dict, is_best: bool) -> None:
+             curr_add: float, scheduler_state: dict, is_best: bool,
+             best_deploy_acc: float = 0.0, is_best_deploy: bool = False) -> None:
         # 0-d ndarrays, not numpy scalars: orbax's restore type-dispatch
         # rejects bare np.float32/np.int32 scalar instances
         payload = {
@@ -39,6 +44,7 @@ class CheckpointManager:
             "meta": {
                 "epoch": np.asarray(epoch, np.int32),
                 "best_acc": np.asarray(best_acc, np.float32),
+                "best_deploy_acc": np.asarray(best_deploy_acc, np.float32),
                 "curr_acc": np.asarray(curr_acc, np.float32),
                 "curr_add": np.asarray(curr_add, np.float32),
             },
@@ -48,6 +54,8 @@ class CheckpointManager:
         if is_best:
             payload["meta"]["best_acc"] = np.asarray(curr_acc, np.float32)
             self._ckptr.save(self._path(BEST_NAME), payload, force=True)
+        if is_best_deploy:
+            self._ckptr.save(self._path(BEST_DEPLOY_NAME), payload, force=True)
         self._ckptr.wait_until_finished()
 
     def restore(self, abstract_state: Any, name: str = LAST_NAME) -> Optional[dict]:
@@ -61,6 +69,7 @@ class CheckpointManager:
             "meta": {
                 "epoch": np.asarray(0, np.int32),
                 "best_acc": np.asarray(0, np.float32),
+                "best_deploy_acc": np.asarray(0, np.float32),
                 "curr_acc": np.asarray(0, np.float32),
                 "curr_add": np.asarray(0, np.float32),
             },

@@ -345,6 +345,31 @@ def make_eval_step(model: PoseNet, cfg: TrainConfig, evaluator) -> Callable:
             quat_to_mat(batch["quat"]), batch["trans"], obj_ids,
             num_valid=num_valid,
         )
+        # Deployment-aligned metric: at inference the learned-translation
+        # variants (rgb, rgbd) DISCARD their learned X/Y and re-derive them
+        # from predicted Z + bbox center + original K (infer/pipeline.py
+        # geometric correction, mirroring the reference's
+        # inference_rgb.py:99-104 / inference_rgbd.py:159-164). Val selection
+        # on the learned-xy metric therefore ranks checkpoints by a pathway
+        # deployment throws away; this second metric scores the corrected
+        # translation so a deployment-aligned best checkpoint can be kept.
+        # For the geometric variants X/Y are already pinhole-derived, so the
+        # correction is the identity and the two metrics coincide.
+        if cfg.variant in ("rgb", "rgbd"):
+            from ..geometry.pinhole import pinhole_xy_from_z
+
+            trans_deploy = pinhole_xy_from_z(
+                pred_trans[:, 2], batch["center_orig"], batch["cam_K"]
+            )
+            deploy = add_metrics(
+                points, diameters, symmetric, present,
+                quat_to_mat(pred_rot), trans_deploy,
+                quat_to_mat(batch["quat"]), batch["trans"], obj_ids,
+                num_valid=num_valid,
+            )
+            metrics["add_01d_acc_deploy"] = deploy["add_01d_acc"]
+        else:
+            metrics["add_01d_acc_deploy"] = metrics["add_01d_acc"]
         loss = pose_loss(pred_rot, pred_trans, batch["quat"], batch["trans"], cfg.loss)
         metrics["loss"] = loss
         metrics["pred_rot"] = pred_rot

@@ -125,6 +125,10 @@ class Trainer:
         self.ckpt = CheckpointManager(save_dir)
         self.start_epoch = 0
         self.best_acc = 0.0
+        # deployment-aligned selection (pinhole-corrected val ADD-0.1d, see
+        # loop.make_eval_step): tracked alongside the reference's best-by-val
+        # rule; a third `best_deploy` checkpoint quantifies the mismatch
+        self.best_deploy_acc = 0.0
         self._metrics_path = os.path.join(save_dir, "metrics.csv")
         # optional TensorBoard summaries (CSV is always written)
         self._tb = None
@@ -156,6 +160,7 @@ class Trainer:
             self.state = shard_state(self.state, self.mesh)
         self.start_epoch = int(restored["meta"]["epoch"]) + 1
         self.best_acc = float(restored["meta"]["best_acc"])
+        self.best_deploy_acc = float(restored["meta"].get("best_deploy_acc", 0.0))
         self.scheduler.load_state_dict(restored["scheduler"])
         print(f"Resumed at epoch {self.start_epoch}, best accuracy: {self.best_acc:.2f}%")
         return True
@@ -239,7 +244,7 @@ class Trainer:
 
     def validate(self, rng: np.random.Generator) -> dict:
         cfg = self.cfg
-        keys = ("add_mean", "add_s_mean", "add_01d_acc", "loss")
+        keys = ("add_mean", "add_s_mean", "add_01d_acc", "loss", "add_01d_acc_deploy")
         acc = []
         for batch in self.val_loader.batches(
             cfg.batch_size, rng, shuffle=False, drop_remainder=False
@@ -256,6 +261,7 @@ class Trainer:
             "val_add_s": float(vals[1]),
             "val_acc": float(vals[2]),
             "val_loss": float(vals[3]),
+            "val_acc_deploy": float(vals[4]),
         }
 
     def fit(self, epochs: Optional[int] = None, early_stop_acc: Optional[float] = None) -> float:
@@ -267,8 +273,8 @@ class Trainer:
         rng = np.random.default_rng(self.seed)
 
         log_fields = [
-            "epoch", "train_loss", "val_add", "val_add_s", "val_acc", "lr",
-            "steps_per_sec", "imgs_per_sec",
+            "epoch", "train_loss", "val_add", "val_add_s", "val_acc",
+            "val_acc_deploy", "lr", "steps_per_sec", "imgs_per_sec",
         ]
         # header if absent OR zero-length (a kill before the first flush can
         # leave an empty file; appending data rows to it would lose the header)
@@ -308,9 +314,26 @@ class Trainer:
                 if is_best:
                     self.best_acc = vm["val_acc"]
                     print(f"  New best model saved (ADD-0.1d: {self.best_acc:.2f}%)")
+                # seeded on the first epoch (unlike `best`'s strict-improve
+                # reference semantics) so `--checkpoint best_deploy` always
+                # resolves even when the corrected metric never leaves 0
+                from .checkpoint import BEST_DEPLOY_NAME
+
+                is_best_deploy = (
+                    vm["val_acc_deploy"] > self.best_deploy_acc
+                    or not self.ckpt.has_checkpoint(BEST_DEPLOY_NAME)
+                )
+                if is_best_deploy:
+                    self.best_deploy_acc = max(self.best_deploy_acc, vm["val_acc_deploy"])
+                    print(
+                        "  New deployment-aligned best saved "
+                        f"(corrected ADD-0.1d: {self.best_deploy_acc:.2f}%)"
+                    )
                 self.ckpt.save(
                     self.state, epoch, self.best_acc, vm["val_acc"], vm["val_add"],
                     self.scheduler.state_dict(), is_best,
+                    best_deploy_acc=self.best_deploy_acc,
+                    is_best_deploy=is_best_deploy,
                 )
                 if early_stop_acc is not None and self.best_acc >= early_stop_acc:
                     print(f"  Early stop: ADD-0.1d {self.best_acc:.2f}% >= {early_stop_acc}%")

@@ -173,11 +173,14 @@ def main():
                          "a resumed fine-tune's final weights even when its "
                          "harder mixed-val mAP never beats the pre-fine-tune "
                          "best (load_yolo_variables prefers 'best')")
-    ap.add_argument("--checkpoint", default="best", choices=["best", "last"],
+    ap.add_argument("--checkpoint", default="best",
+                    choices=["best", "last", "best_deploy"],
                     help="which Trainer checkpoint to deploy; 'last' "
                          "quantifies best-by-val-acc selection luck on the "
                          "fixture's noisy val metric (the selection rule "
-                         "itself keeps reference parity)")
+                         "itself keeps reference parity); 'best_deploy' "
+                         "selects by the pinhole-corrected val metric that "
+                         "matches this pipeline's geometric correction")
     ap.add_argument("--max-objects", type=int, default=1,
                     help=">1 evaluates MULTI-OBJECT frames (build_frame_index "
                          "keeps every gt.yml annotation): the pipeline "

@@ -19,6 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", default=os.path.join(REPO, "parity"))
+    ap.add_argument("--round", default="5",
+                    help="provenance label for the re-evaluation round")
     args = ap.parse_args()
 
     with open(os.path.join(args.workdir, "results.json")) as f:
@@ -56,9 +58,11 @@ geometrically score higher in val, reproducing the reference's ordering for
 three of the four variants: rgb {v('rgb', 'best_add01d')}% < rgb_geometric
 {v('rgb_geometric', 'best_add01d')}% < rgbd_geometric
 {v('rgbd_geometric', 'best_add01d')}%. The exception is rgbd
-({v('rgbd', 'best_add01d')}%): on the reference's real data it BEATS rgb
-(21.20 vs 13.35), on this fixture it comes last — see the rgbd diagnosis
-below.
+({v('rgbd', 'best_add01d')}% from scratch): on the reference's real data it
+BEATS rgb (21.20 vs 13.35), on this fixture trained cold it comes last —
+diagnosed (and, in round 4, resolved: 11.83% > rgb once the towers start
+from a trained basin, the only regime the reference runs it in) in the
+rgbd diagnosis section below.
 
 **Deployment flips the story, exactly as the reference's inference scripts
 do.** The deployed pipeline re-derives X/Y by pinhole from the detected box
@@ -96,6 +100,20 @@ detector to 0.975 mAP@50, rotation to a few degrees where the head is
 wide, translation to the information bound. What separates these numbers
 from the reference's published table is training inputs (pretrained
 backbone + real data), not framework behavior.
+
+**Round-{args.round} provenance + determinism.** Every table row above is a
+round-{args.round} re-evaluation under ONE provenance: one detector
+(retrained from scratch), the four round-{args.round} pose checkpoints,
+current code. Detector training is bit-deterministic across rounds
+(`parity/yolo/metrics.csv` vs the archived `metrics_round*.csv` curves,
+seed 42, device-resident pipeline). Pose training samples fresh RNG, and on
+learned-translation variants the reference's best-by-val-ADD-0.1d selection
+rule is structurally misaligned with deployment — it ranks checkpoints by
+the learned-xy pathway that the deployed pipeline's geometric correction
+discards — so deployed accuracy under it is noisy at fixture scale (rounds
+3/4 measured a 60.8%-vs-27.6% swing from this alone). The selection-rule
+study below quantifies the effect per variant; the parity tables keep the
+reference's rule.
 """
     import sys
 

@@ -46,7 +46,13 @@ def test_train_two_epochs_and_resume(synth, small_cfg, tmp_path_factory):
     best = trainer.fit(epochs=2)
     assert np.isfinite(best)
     assert trainer.ckpt.has_checkpoint("last")
+    # deployment-aligned selection runs alongside the reference rule: the
+    # corrected-metric best checkpoint and CSV column both exist
+    assert trainer.ckpt.has_checkpoint("best_deploy")
+    assert np.isfinite(trainer.best_deploy_acc)
     assert os.path.exists(os.path.join(save_dir, "metrics.csv"))
+    with open(os.path.join(save_dir, "metrics.csv")) as f:
+        assert "val_acc_deploy" in f.readline().split(",")
 
     # loss must be finite and the state advanced
     assert int(trainer.state.step) == 2 * (32 // 8)
@@ -58,6 +64,7 @@ def test_train_two_epochs_and_resume(synth, small_cfg, tmp_path_factory):
     assert trainer2.try_resume()
     assert trainer2.start_epoch == 2
     assert trainer2.best_acc == pytest.approx(best)
+    assert trainer2.best_deploy_acc == pytest.approx(trainer.best_deploy_acc)
     # restored params match
     p_old = jax.tree.leaves(trainer.state.params)[0]
     p_new = jax.tree.leaves(trainer2.state.params)[0]
@@ -103,6 +110,9 @@ def test_geometric_variant_one_step(synth, tmp_path_factory):
     gt_t = vb["trans"]
     # z from the depth sensor should be within a few cm of gt z
     assert np.abs(pred_t[:, 2] - gt_t[:, 2]).max() < 0.05
+    # geometric variants already derive X/Y by pinhole, so the deployment-
+    # aligned metric coincides with the plain val metric
+    assert float(m["add_01d_acc_deploy"]) == pytest.approx(float(m["add_01d_acc"]))
 
 
 @pytest.mark.parametrize("variant,flavor", [("rgb_geometric", "rgb"), ("rgbd", "rgbd")])
@@ -120,6 +130,32 @@ def test_remaining_variants_one_step(synth, tmp_path_factory, variant, flavor):
     vb = next(trainer.val_loader.batches(4, rng, shuffle=False, drop_remainder=False))
     m = trainer.eval_step(trainer.state, vb)
     assert np.isfinite(float(m["add_mean"]))
+
+    if variant == "rgbd":
+        # learned-translation variant: the deployment-aligned metric must
+        # equal add_metrics on the pinhole-corrected translation (the exact
+        # quantity infer/pipeline.py deploys)
+        import jax.numpy as jnp
+        from pose6d_tpu.geometry.pinhole import pinhole_xy_from_z
+        from pose6d_tpu.geometry.quat import quat_to_mat
+        from pose6d_tpu.losses.add import add_metrics
+
+        ev = trainer.evaluator
+        pred_rot = jnp.asarray(m["pred_rot"])
+        corrected = pinhole_xy_from_z(
+            jnp.asarray(m["pred_trans"])[:, 2],
+            jnp.asarray(vb["center_orig"]), jnp.asarray(vb["cam_K"]),
+        )
+        obj_ids = jnp.where(jnp.asarray(vb["valid"]), jnp.asarray(vb["obj_id"]), -1)
+        expected = add_metrics(
+            ev.points, ev.diameters, ev.symmetric, ev.present,
+            quat_to_mat(pred_rot), corrected,
+            quat_to_mat(jnp.asarray(vb["quat"])), jnp.asarray(vb["trans"]),
+            obj_ids, num_valid=ev.num_valid,
+        )
+        assert float(m["add_01d_acc_deploy"]) == pytest.approx(
+            float(expected["add_01d_acc"]), abs=1e-4
+        )
 
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
