@@ -60,6 +60,13 @@ class PipelineConfig:
     # poses estimated per frame: 1 = best box (single-object LineMOD demo);
     # >1 = the reference's loop over every detected box, vectorized
     max_objects: int = 1
+    # max_objects=1 decode shortcut: greedy NMS can never suppress the
+    # global-argmax candidate, so the best box needs no IoU fixpoint and no
+    # pre_topk candidate set — top-1 decode only (decode_topk_nms max_det=1
+    # fast path; slot-0 equality pinned in tests/test_yolo.py). Measured
+    # motivation: the in-pipeline decode+NMS prefix delta was 2.7-3.0 ms of
+    # the 30.2 ms composed rgbd batch (round-4g prefix profile).
+    nms_top1_fast: bool = True
     # crop via a per-sample window slice instead of full-frame interp
     # matrices; must exceed the largest expected crop side (LineMOD < 300).
     # None (default) = full-frame path: measured FASTER on v5e (5553 vs
@@ -294,9 +301,10 @@ class PosePipeline:
             outputs = self.yolo.apply(yolo_variables, canvas)
         # fused decode: top-k preselect BEFORE the DFL box decode — same
         # results, full-field softmax-expectation work dropped (decode.py)
+        top1 = self.cfg.max_objects == 1 and self.cfg.nms_top1_fast
         dets = decode_topk_nms(
             outputs, self.yolo_cfg, det_hw,
-            max_det=max(8, self.cfg.max_objects),
+            max_det=1 if top1 else max(8, self.cfg.max_objects),
             pre_topk=self.cfg.nms_pre_topk,
             iou_thresh=self.cfg.iou_thresh, conf_thresh=self.cfg.conf_thresh,
             fixpoint_iters=self.cfg.nms_fixpoint_iters,

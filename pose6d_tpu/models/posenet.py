@@ -60,6 +60,21 @@ class PoseNetConfig:
     # with the attention residual bypassed (PARITY_RESULTS.md diagnosis).
     # Default False = the reference's Xavier init, golden-matched.
     attn_zero_init: bool = False
+    # DIAGNOSIS ARMS (rgb_geometric only; VERDICT round-4 #5): the variant's
+    # deployed accuracy is bounded by its monocular-z error (32.7 mm vs the
+    # rgb variant's backbone-learned 21.3 mm), and the reference computes z
+    # from a separate tiny 4-conv CNN (models/pose_net_rgb_geometric.py:36-55)
+    # rather than the ResNet50 features. Two bounded probes attribute that
+    # gap to capacity vs information source:
+    #   z_from_backbone — z head consumes the ResNet50 [B, 2048] features
+    #     through the same 2048/1024/512 BN-MLP shape as the rgb variant's
+    #     translation head (the pathway whose z error is 21.3 mm). Tests
+    #     whether the information was in the big backbone all along.
+    #   z_backbone_wide — keeps the separate-CNN design but doubles its
+    #     channels (64/128/256/512) and widens the z MLP to 256/128. Tests
+    #     whether the tiny CNN is capacity-bound at a fixed info source.
+    z_from_backbone: bool = False
+    z_backbone_wide: bool = False
     # depth sampling guards (reference: models/pose_net_rgbd_geometric.py:78-79)
     depth_invalid_thresh: float = 0.01
     depth_fallback: float = 0.5
@@ -156,25 +171,30 @@ class CrossModalAttention(nn.Module):
 
 class ZBackbone(nn.Module):
     """Lightweight 4-conv CNN for Z-depth prediction
-    (reference: models/pose_net_rgb_geometric.py:36-55)."""
+    (reference: models/pose_net_rgb_geometric.py:36-55). `wide=True` is the
+    capacity-diagnosis arm (PoseNetConfig.z_backbone_wide): channels doubled
+    to 64/128/256/512, same topology."""
+
+    wide: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                          epsilon=1e-5, name=name)
-        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], name="conv0")(x)
+        c = [64, 128, 256, 512] if self.wide else [32, 64, 128, 256]
+        x = nn.Conv(c[0], (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], name="conv0")(x)
         x = nn.relu(norm("bn0")(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(64, (5, 5), padding=[(2, 2), (2, 2)], name="conv1")(x)
+        x = nn.Conv(c[1], (5, 5), padding=[(2, 2), (2, 2)], name="conv1")(x)
         x = nn.relu(norm("bn1")(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(x)
+        x = nn.Conv(c[2], (3, 3), padding=[(1, 1), (1, 1)], name="conv2")(x)
         x = nn.relu(norm("bn2")(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], name="conv3")(x)
+        x = nn.Conv(c[3], (3, 3), padding=[(1, 1), (1, 1)], name="conv3")(x)
         x = nn.relu(norm("bn3")(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [B, 256]
+        return jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [B, 256|512]
 
 
 class PoseNet(nn.Module):
@@ -222,14 +242,27 @@ class PoseNet(nn.Module):
                 norms=rot_norms, dropouts=rot_drops,
                 act=relu, train=train, name_prefix="rot_",
             )
-            z_feat = ZBackbone(name="z_backbone")(rgb, train=train)
-            z = _mlp_head(
-                z_feat, (128, 64), 1,
-                norms=("none", "none"), dropouts=(0.2, 0.0),
-                act=relu, train=train,
-                out_bias_init=_z_bias_init(0.5, index=0, dim=1),
-                name_prefix="z_",
-            )
+            if cfg.z_from_backbone:
+                # diagnosis arm (b): z from the ResNet50 features through the
+                # rgb variant's translation-head shape (see PoseNetConfig)
+                z = _mlp_head(
+                    feat, (2048, 1024, 512), 1,
+                    norms=("batch", "batch", "none"), dropouts=(0.3, 0.2, 0.0),
+                    act=relu, train=train,
+                    out_bias_init=_z_bias_init(0.5, index=0, dim=1),
+                    name_prefix="z_",
+                )
+            else:
+                z_feat = ZBackbone(wide=cfg.z_backbone_wide,
+                                   name="z_backbone")(rgb, train=train)
+                z_widths = (256, 128) if cfg.z_backbone_wide else (128, 64)
+                z = _mlp_head(
+                    z_feat, z_widths, 1,
+                    norms=("none", "none"), dropouts=(0.2, 0.0),
+                    act=relu, train=train,
+                    out_bias_init=_z_bias_init(0.5, index=0, dim=1),
+                    name_prefix="z_",
+                )
             if bbox_center is not None and camera_matrix is not None:
                 trans = pinhole_xy_from_z(z, bbox_center, camera_matrix)
             else:

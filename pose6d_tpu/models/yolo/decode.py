@@ -195,7 +195,12 @@ def decode_topk_nms(
     # sigmoid is monotone: rank by max logit, apply sigmoid to the winners
     best_logit = jnp.max(cls_logits, axis=-1)  # [B, A]
     best_cls = jnp.argmax(cls_logits, axis=-1)  # [B, A]
-    k = min(pre_topk, best_logit.shape[1])
+    # max_det=1 fast path: greedy NMS never suppresses the global-max
+    # candidate (the first kept box IS the argmax), so suppression cannot
+    # change slot 0 — only the top-1 candidate needs decoding and the
+    # IoU fixpoint disappears. Semantics-identical to the general path's
+    # slot 0 (equality pinned by tests/test_yolo.py::test_nms_top1_fast).
+    k = 1 if max_det == 1 else min(pre_topk, best_logit.shape[1])
     top_logit, top_idx = jax.lax.top_k(best_logit, k)  # [B, k]
     top_score = jax.nn.sigmoid(top_logit.astype(jnp.float32))
 
@@ -215,6 +220,15 @@ def decode_topk_nms(
     x1y1 = (sel_anchor - ltrb[..., :2]) * sel_stride[..., None]
     x2y2 = (sel_anchor + ltrb[..., 2:]) * sel_stride[..., None]
     top_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)  # [B, k, 4]
+
+    if max_det == 1:
+        valid = (top_score >= conf_thresh) & (top_score > 0)  # [B, 1]
+        return {
+            "boxes": top_boxes,
+            "scores": jnp.where(valid, top_score, 0.0),
+            "classes": jnp.where(valid, sel_cls, -1),
+            "valid": valid,
+        }
 
     return jax.vmap(
         lambda b, s, c: _greedy_suppress(

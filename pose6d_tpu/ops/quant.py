@@ -134,9 +134,15 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
     each conv's input (the calibration hook).
 
     compute_dtype=bf16 is the folded SERVING mode: activations and weights
-    ride bf16, every conv accumulates f32 on the MXU
-    (preferred_element_type), biases add in f32 before the relu re-cast —
-    the same numeric contract as ops/pallas_block. `pallas_l1` (a
+    ride bf16 END-TO-END — the MXU still accumulates f32 internally, but
+    conv outputs, bias adds, relus and residuals all materialize in bf16,
+    matching the flax bf16 graph's numeric contract. (Round 4 shipped this
+    path with preferred_element_type=f32 + f32 bias adds, which forced an
+    f32 materialization of every conv output between conv and activation:
+    measured 3,888 vs 4,312 fps plain-bf16 e2e — the 10% loss PERF.md
+    round 4c attributes to exactly this. The Pallas kernels keep their own
+    f32-accumulate-then-round contract; their tests compare against an f32
+    oracle with a bf16 envelope, not bit-exactly against this path.) `pallas_l1` (a
     pack_layer1_weights tuple) replaces the three layer1 bottleneck blocks
     with the fused VMEM-resident Pallas kernel; `pallas_stem` (a
     pack_stem_weights pair) replaces conv1+relu+maxpool with the fused
@@ -159,9 +165,9 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
             x.astype(cd), jnp.asarray(e["w"], cd), (stride, stride),
             padding if padding is not None else "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=cd,
         )
-        return y + e["b"]
+        return y + jnp.asarray(e["b"], cd)
 
     if pallas_stem is not None:
         from .pallas_block import fused_stem
@@ -194,8 +200,6 @@ def folded_resnet50_forward(folded: Dict, x, observer=None,
         y = conv(f"{blk}/conv3", y)
         if f"{blk}/downsample" in folded:
             r = conv(f"{blk}/downsample", r, stride)
-        else:
-            r = r.astype(jnp.float32) if cd != jnp.float32 else r
         x = jax.nn.relu(y + r).astype(cd)
     return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 

@@ -49,6 +49,9 @@ class TrainConfig:
     # variants) and the rgbd no-attention concat-fusion probe
     rot_head_wide: bool = False
     fusion_attention: bool = True
+    # rgb_geometric z-pathway diagnosis arms (PoseNetConfig docstring)
+    z_from_backbone: bool = False
+    z_backbone_wide: bool = False
     # rgbd training fix (opt-in, shape-preserving): zero-init the attention
     # out_proj so the residual starts at identity (PoseNetConfig.attn_zero_init)
     attn_zero_init: bool = False
@@ -180,7 +183,9 @@ def create_train_state(
                                        dtype=jnp.dtype(cfg.compute_dtype).type,
                                        rot_head_wide=cfg.rot_head_wide,
                                        fusion_attention=cfg.fusion_attention,
-                                       attn_zero_init=cfg.attn_zero_init))
+                                       attn_zero_init=cfg.attn_zero_init,
+                                       z_from_backbone=cfg.z_from_backbone,
+                                       z_backbone_wide=cfg.z_backbone_wide))
     S = cfg.img_size
     dummy = {
         "rgb": jnp.zeros((2, S, S, 3)),

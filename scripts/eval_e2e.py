@@ -143,6 +143,12 @@ def main():
     ap.add_argument("--no-fusion-attention", dest="fusion_attention",
                     action="store_false", default=True,
                     help="evaluate a weights dir trained with the rgbd no-attention ablation")
+    ap.add_argument("--z-from-backbone", action="store_true",
+                    help="evaluate an rgb_geometric weights dir trained with "
+                         "the z-from-ResNet-features diagnosis arm")
+    ap.add_argument("--z-backbone-wide", action="store_true",
+                    help="evaluate an rgb_geometric weights dir trained with "
+                         "the double-width Z-CNN diagnosis arm")
     ap.add_argument("--int8-backbone", action="store_true",
                     help="int8 PTQ serving mode (ops/quant.py): quantize the "
                          "ResNet towers on the first batch (calibration) and "
@@ -238,7 +244,9 @@ def main():
         sys.exit(f"no detector checkpoint in {args.yolo_weights}")
     pcfg = get_preset(args.variant, img_size=args.img_size,
                       rot_head_wide=args.rot_head_wide,
-                      fusion_attention=args.fusion_attention)
+                      fusion_attention=args.fusion_attention,
+                      z_from_backbone=args.z_from_backbone,
+                      z_backbone_wide=args.z_backbone_wide)
     pvars = load_model_variables(args.pose_weights, pcfg,
                                  name=args.checkpoint)
     if pvars is None:
@@ -255,7 +263,9 @@ def main():
         ycfg, yvars, pvars,
         PoseNetConfig(variant=args.variant, img_size=args.img_size,
                       rot_head_wide=args.rot_head_wide,
-                      fusion_attention=args.fusion_attention),
+                      fusion_attention=args.fusion_attention,
+                      z_from_backbone=args.z_from_backbone,
+                      z_backbone_wide=args.z_backbone_wide),
     )
     if args.folded_backbone:
         stages = tuple(int(s) for s in args.folded_stages.split(",") if s)

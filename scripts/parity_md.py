@@ -20,6 +20,8 @@ SECTIONS = [
     ("base", "# Accuracy-parity evidence"),
     ("attribution", "## Component attribution"),
     ("e2e", "## Full-system (detector-in-the-loop) evaluation"),
+    ("multiobj", "### Multi-object frames"),
+    ("selection", "## Checkpoint-selection study"),
     ("serving", "## Serving-mode accuracy gates"),
     ("narrative", "## Reading the tables"),
     ("ablation", "## Ablation:"),

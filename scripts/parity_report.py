@@ -104,16 +104,22 @@ backbone + real data), not framework behavior.
 **Round-{args.round} provenance + determinism.** Every table row above is a
 round-{args.round} re-evaluation under ONE provenance: one detector
 (retrained from scratch), the four round-{args.round} pose checkpoints,
-current code. Detector training is bit-deterministic across rounds
-(`parity/yolo/metrics.csv` vs the archived `metrics_round*.csv` curves,
-seed 42, device-resident pipeline). Pose training samples fresh RNG, and on
-learned-translation variants the reference's best-by-val-ADD-0.1d selection
-rule is structurally misaligned with deployment — it ranks checkpoints by
-the learned-xy pathway that the deployed pipeline's geometric correction
-discards — so deployed accuracy under it is noisy at fixture scale (rounds
-3/4 measured a 60.8%-vs-27.6% swing from this alone). The selection-rule
-study below quantifies the effect per variant; the parity tables keep the
-reference's rule.
+current code. Detector training is deterministic given code + data (the
+round-4 retrain reproduced round 3's curves to every printed digit); the
+round-5 curves differ from the archived `metrics_round*.csv` because the
+detector trainer changed mid-round-4 (scene-mix data path + nonfinite-step
+guard) after the round-4 base detector had trained — mAP@50 lands at the
+same level (0.973 vs 0.975). Pose training is bit-deterministic too: the
+round-5 curves reproduce round 4's metrics_round4.csv to every printed
+digit (the round-5 trainer change only ADDED a val column —
+val_acc_deploy — without touching training RNG), so the `best` selections
+land on the same epochs as round 4. On learned-translation variants the
+reference's best-by-val-ADD-0.1d selection rule is structurally misaligned
+with deployment — it ranks checkpoints by the learned-xy pathway that the
+deployed pipeline's geometric correction discards — and deployed accuracy
+under it is noisy at fixture scale (rounds 3/4 measured a 60.8%-vs-27.6%
+swing from this alone). The selection-rule study below quantifies the
+effect per variant; the parity tables keep the reference's rule.
 """
     import sys
 

@@ -136,6 +136,11 @@ def main():
     # optimization starts from the concat-fusion landscape the no-attention
     # ablation showed to be well-conditioned (weights_rgbd_zeroattn)
     ap.add_argument("--attn-zero-init", action="store_true")
+    # rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5; see
+    # PoseNetConfig docstring): z head off the ResNet50 features
+    # (weights_*_zbb) / double-width separate Z-CNN (weights_*_zwide)
+    ap.add_argument("--z-from-backbone", action="store_true")
+    ap.add_argument("--z-backbone-wide", action="store_true")
     # round-3 default: decode the train split once into HBM and crop on the
     # MXU inside the train step (train/loop.expand_device_batch) — removes
     # the ~1% MFU host wall measured in round 2 (PERF.md). Validation keeps
@@ -195,6 +200,8 @@ def main():
         name = (variant + ("_widehead" if args.rot_head_wide else "")
                 + ("" if args.fusion_attention else "_noattn")
                 + ("_zeroattn" if args.attn_zero_init else "")
+                + ("_zbb" if args.z_from_backbone else "")
+                + ("_zwide" if args.z_backbone_wide else "")
                 + ("_bf16" if args.bf16 else "")
                 + ("_warmstart" if args.init_towers_from else ""))
         save_dir = os.path.join(args.workdir, f"weights_{name}")
@@ -204,6 +211,8 @@ def main():
                          rot_head_wide=args.rot_head_wide,
                          fusion_attention=args.fusion_attention,
                          attn_zero_init=args.attn_zero_init,
+                         z_from_backbone=args.z_from_backbone,
+                         z_backbone_wide=args.z_backbone_wide,
                          compute_dtype="bfloat16" if args.bf16 else "float32")
         print(f"\n=== {variant}: training to {args.epochs} epochs "
               f"(early stop at {args.early_stop_acc}% ADD-0.1d) ===")
@@ -227,13 +236,16 @@ def main():
 
             dname = args.donor_variant or variant
             dbase = dname
-            for suf in ("_noattn", "_widehead", "_zeroattn", "_bf16"):
+            for suf in ("_noattn", "_widehead", "_zeroattn", "_zbb",
+                        "_zwide", "_bf16"):
                 dbase = dbase.replace(suf, "")
             donor_cfg = get_preset(
                 dbase, batch_size=args.batch_size,
                 rot_head_wide="_widehead" in dname,
                 fusion_attention="_noattn" not in dname,
                 attn_zero_init="_zeroattn" in dname,
+                z_from_backbone="_zbb" in dname,
+                z_backbone_wide="_zwide" in dname,
                 compute_dtype="bfloat16" if "_bf16" in dname else "float32")
             donor = load_model_variables(args.init_towers_from, donor_cfg)
             if donor is None:

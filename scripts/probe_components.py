@@ -68,7 +68,21 @@ def probe_variant(variant: str, workdir: str, ckpt: str, batches: int,
     from pose6d_tpu.ops.augment import AugmentConfig, eval_preprocess
     from pose6d_tpu.train.loop import create_train_state, model_inputs, decompress_batch
 
-    cfg = get_preset(variant, augment=AugmentConfig(grayscale_p=0.0))
+    # run names carry parity_run's ablation suffixes (weights_<base><sufs>);
+    # map them back to the TrainConfig flags so arms probe with their own
+    # architecture (e.g. rgb_geometric_zbb, rgbd_noattn, *_widehead)
+    base = variant
+    for suf in ("_widehead", "_noattn", "_zeroattn", "_zbb", "_zwide",
+                "_bf16", "_warmstart"):
+        base = base.replace(suf, "")
+    cfg = get_preset(
+        base, augment=AugmentConfig(grayscale_p=0.0),
+        rot_head_wide="_widehead" in variant,
+        fusion_attention="_noattn" not in variant,
+        attn_zero_init="_zeroattn" in variant,
+        z_from_backbone="_zbb" in variant,
+        z_backbone_wide="_zwide" in variant,
+    )
     model, _, state = create_train_state(cfg, jax.random.key(0))
     save_dir = os.path.join(workdir, f"weights_{variant}")
     restored = snapshot_restore(save_dir, state, ckpt)

@@ -37,8 +37,17 @@ def chained(fn, frames, K, depth, extra, n=50):
     def run_n(fr, k, d, extra_args, n_iters):
         def body(i, carry):
             out = fn(fr + carry, k, d, *extra_args)
-            leaf = jax.tree.leaves(out)[0]
-            return (jnp.sum(leaf.astype(jnp.float32)) > -1e30).astype(jnp.uint8)
+            # the carry must depend on EVERY output leaf: depending on just
+            # the first leaf let XLA dead-code-eliminate the rest of the
+            # graph inside the loop (the round-4g run measured full_run_impl
+            # "faster" than its own +posenet prefix because _run_impl's first
+            # leaf only needs the detector — crop+posenet were DCE'd)
+            tot = sum(
+                jnp.sum(leaf.astype(jnp.float32))
+                for leaf in jax.tree.leaves(out)
+                if jnp.issubdtype(leaf.dtype, jnp.number) or leaf.dtype == jnp.bool_
+            )
+            return (tot > -1e30).astype(jnp.uint8)
 
         return jax.lax.fori_loop(0, n_iters, body, jnp.uint8(0))
 

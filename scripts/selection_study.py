@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Checkpoint-selection study: reference rule vs deployment-aligned rule.
+
+VERDICT round-4 weak #2: the reference selects its best checkpoint by val
+ADD-0.1d on the LEARNED translation (train_rgb.py:134-141), but at
+deployment the learned-translation variants discard learned X/Y and
+re-derive them by pinhole from predicted Z (inference_rgb.py:99-104,
+inference_rgbd.py:159-164 — mirrored by infer/pipeline.py's geometric
+correction). Selection therefore ranks checkpoints by a pathway deployment
+throws away; rounds 3/4 measured a 60.8%-vs-27.6% deployed swing on rgb
+from this alone.
+
+This script turns that anecdote into a measured table: for every trained
+variant it deploys each of the Trainer's three checkpoints —
+
+  best         the reference's rule (val ADD-0.1d, learned translation)
+  best_deploy  deployment-aligned rule (val ADD-0.1d with X/Y
+               pinhole-corrected from predicted Z; train/loop.make_eval_step)
+  last         the final epoch (no selection)
+
+— through scripts/eval_e2e.py on the test split and writes the comparison
+as the 'selection' section of PARITY_RESULTS.md. The parity tables keep
+the reference's rule; this section quantifies what the rule costs.
+
+Usage (real chip, after parity_run + parity_e2e):
+  python scripts/selection_study.py --workdir /root/repo/parity
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+
+
+def parse_e2e(stdout: str) -> dict:
+    patterns = {
+        "det_rate": r"detection rate: ([\d.]+)%",
+        "add_mm": r"ADD \(detected\): ([\d.]+)mm",
+        "add01d_det": r"ADD-0\.1d \(detected\): ([\d.]+)%",
+        "add01d_full": r"full system, undetected = incorrect\): ([\d.]+)%",
+    }
+    out = {}
+    for key, pat in patterns.items():
+        m = re.search(pat, stdout)
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default=os.path.join(REPO, "parity"))
+    ap.add_argument("--split", default="test", choices=["val", "test"])
+    ap.add_argument("--variants", nargs="+",
+                    default=["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"])
+    ap.add_argument("--checkpoints", nargs="+",
+                    default=["best", "best_deploy", "last"])
+    ap.add_argument("--md-only", action="store_true",
+                    help="re-append the markdown from selection_results.json")
+    args = ap.parse_args()
+
+    data_root = os.path.join(args.workdir, "synth", "data")
+    mesh_dir = os.path.join(args.workdir, "synth", "models")
+    yolo_dir = os.path.join(args.workdir, "yolo")
+    out_json = os.path.join(args.workdir, "selection_results.json")
+    log_dir = os.path.join(args.workdir, "logs")
+    os.makedirs(log_dir, exist_ok=True)
+
+    results = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            results = json.load(f)
+
+    if not args.md_only:
+        for variant in args.variants:
+            pose_dir = os.path.join(args.workdir, f"weights_{variant}")
+            if not os.path.isdir(os.path.join(pose_dir, "best")):
+                print(f"[selection] {variant}: no trained weights, skipping")
+                continue
+            results.setdefault(variant, {})
+            for ckpt in args.checkpoints:
+                if not os.path.isdir(os.path.join(pose_dir, ckpt)):
+                    print(f"[selection] {variant}/{ckpt}: missing, skipping")
+                    continue
+                cmd = [sys.executable, os.path.join(SCRIPTS, "eval_e2e.py"),
+                       "--variant", variant, "--data-root", data_root,
+                       "--mesh-dir", mesh_dir, "--yolo-weights", yolo_dir,
+                       "--pose-weights", pose_dir, "--split", args.split,
+                       "--checkpoint", ckpt]
+                print("+", " ".join(cmd), flush=True)
+                proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True)
+                log = os.path.join(log_dir, f"selection_{variant}_{ckpt}.log")
+                with open(log, "w") as f:
+                    f.write(proc.stdout)
+                if proc.returncode != 0:
+                    print(f"[selection] {variant}/{ckpt} FAILED rc={proc.returncode}")
+                    print(proc.stdout[-1500:])
+                    continue
+                results[variant][ckpt] = parse_e2e(proc.stdout)
+                with open(out_json, "w") as f:
+                    json.dump(results, f, indent=2)
+
+    # ------------------------------------------------------------ markdown
+    def cell(v, c):
+        r = results.get(v, {}).get(c)
+        if not r:
+            return "—"
+        return f"{r.get('add01d_full', float('nan')):.2f}"
+
+    lines = [
+        "## Checkpoint-selection study: the reference's rule vs "
+        "deployment-aligned selection\n\n",
+        "The reference selects `best` by val ADD-0.1d on the LEARNED "
+        "translation (train_rgb.py:134-141); at deployment the "
+        "learned-translation variants discard learned X/Y and re-derive "
+        "them by pinhole from predicted Z (inference_rgb.py:99-104 — "
+        "mirrored by `infer/pipeline.py`). The Trainer therefore also "
+        "tracks a `best_deploy` checkpoint selected by the same val metric "
+        "computed on the PINHOLE-CORRECTED translation "
+        "(train/loop.make_eval_step), i.e. the exact quantity deployment "
+        "scores. Full-system test-split ADD-0.1d (%) per selection rule "
+        f"(detector in the loop, `scripts/selection_study.py`, "
+        f"{args.split} split):\n\n",
+        "| variant | best (reference rule) | best_deploy "
+        "(deployment-aligned) | last (no selection) |\n",
+        "|---|---|---|---|\n",
+    ]
+    for v in args.variants:
+        if v not in results:
+            continue
+        lines.append(
+            f"| {v} | {cell(v, 'best')} | {cell(v, 'best_deploy')} "
+            f"| {cell(v, 'last')} |\n"
+        )
+    lines.append(
+        "\nFor the geometric variants the two metrics coincide by "
+        "construction (X/Y are already pinhole-derived), so their columns "
+        "differ only through val-noise tie-breaks. For rgb/rgbd the "
+        "`best_deploy` column is selected by the deployment pathway; the "
+        "gap to the `best` column is the measured cost of the reference's "
+        "selection rule, and the `last` column bounds what no selection at "
+        "all would give. The parity tables above keep the reference's rule "
+        "(their provenance note explains the swing it caused across "
+        "rounds).\n"
+    )
+
+    sys.path.insert(0, SCRIPTS)
+    from parity_md import write_section
+
+    path = write_section(args.workdir, "selection", "".join(lines))
+    print(f"wrote selection section {path} and reassembled the document")
+
+
+if __name__ == "__main__":
+    main()

@@ -213,3 +213,49 @@ def test_rgbd_attn_zero_init_starts_at_concat_baseline():
 
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
+
+
+def test_rgb_geometric_z_diagnosis_arms():
+    """The two rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5):
+    z_from_backbone drops the separate Z-CNN and regresses z from the
+    ResNet50 features through the rgb-translation-head shape;
+    z_backbone_wide doubles the Z-CNN's channels. Both keep the pinhole
+    X/Y derivation and unit-quaternion contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pose6d_tpu.models.posenet import PoseNet, PoseNetConfig
+
+    rgb = jax.random.normal(jax.random.key(1), (2, 32, 32, 3))
+    center = jnp.array([[16.0, 16.0], [10.0, 20.0]])
+    K = jnp.broadcast_to(jnp.array([[30.0, 0, 16], [0, 30.0, 16], [0, 0, 1]]), (2, 3, 3))
+
+    # arm (b): z from the backbone features — no z_backbone scope at all,
+    # z head shaped like the rgb variant's translation head
+    m = PoseNet(PoseNetConfig(variant="rgb_geometric", img_size=32,
+                              z_from_backbone=True))
+    v = m.init(jax.random.key(0), rgb, bbox_center=center, camera_matrix=K)
+    p = v["params"]
+    assert "z_backbone" not in p
+    assert p["z_dense0"]["kernel"].shape == (2048, 2048)
+    assert p["z_out"]["kernel"].shape == (512, 1)
+    rot, trans = m.apply(v, rgb, bbox_center=center, camera_matrix=K)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rot), axis=-1), 1.0,
+                               rtol=1e-5)
+    # pinhole contract: x = (u - cx) * z / fx
+    t = np.asarray(trans)
+    np.testing.assert_allclose(
+        t[:, 0], (np.asarray(center)[:, 0] - 16.0) * t[:, 2] / 30.0, rtol=1e-5,
+        atol=1e-6)
+
+    # arm (a): wide Z-CNN — channels doubled, z MLP widened
+    m2 = PoseNet(PoseNetConfig(variant="rgb_geometric", img_size=32,
+                               z_backbone_wide=True))
+    v2 = m2.init(jax.random.key(0), rgb, bbox_center=center, camera_matrix=K)
+    p2 = v2["params"]
+    assert p2["z_backbone"]["conv0"]["kernel"].shape[-1] == 64
+    assert p2["z_backbone"]["conv3"]["kernel"].shape[-1] == 512
+    assert p2["z_dense0"]["kernel"].shape == (512, 256)
+    rot2, trans2 = m2.apply(v2, rgb, bbox_center=center, camera_matrix=K)
+    assert rot2.shape == (2, 4) and trans2.shape == (2, 3)

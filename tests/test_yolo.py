@@ -219,5 +219,39 @@ def test_decode_topk_nms_matches_two_step():
     np.testing.assert_allclose(np.asarray(ref["boxes"]),
                                np.asarray(got["boxes"]), atol=1e-4)
 
+
+
+def test_nms_top1_fast():
+    """max_det=1 fast path: greedy NMS can never suppress the global-argmax
+    candidate, so the top-1 decode (no IoU fixpoint, k=1 candidate set) must
+    equal slot 0 of the full NMS path — including the conf-threshold
+    invalidation."""
+    from pose6d_tpu.models.yolo.decode import decode_topk_nms
+
+    cfg = YoloConfig(num_classes=5)
+    H, W = 64, 96
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        outputs = []
+        for s in cfg.strides:
+            shape = (3, H // s, W // s)
+            outputs.append((
+                jnp.asarray(rng.normal(0, 1.5, shape + (4 * cfg.reg_max,)),
+                            jnp.float32),
+                jnp.asarray(rng.normal(-2, 2, shape + (cfg.num_classes,)),
+                            jnp.float32),
+            ))
+        # trial 2 uses a high conf threshold so some frames go invalid
+        conf = 0.6 if trial == 2 else 0.1
+        kw = dict(pre_topk=32, iou_thresh=0.5, conf_thresh=conf,
+                  fixpoint_iters=16)
+        full = decode_topk_nms(outputs, cfg, (H, W), max_det=8, **kw)
+        fast = decode_topk_nms(outputs, cfg, (H, W), max_det=1, **kw)
+        for k in ("scores", "classes", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(full[k][:, :1]), np.asarray(fast[k]), err_msg=k)
+        np.testing.assert_allclose(np.asarray(full["boxes"][:, :1]),
+                                   np.asarray(fast["boxes"]), atol=1e-4)
+
 # Heavy tier: compiles a ResNet/YOLO-sized program or runs a training loop.
 pytestmark = pytest.mark.slow
