@@ -53,6 +53,7 @@ if [ "$DRY_RUN" -eq 1 ]; then
   POSE_ARGS=(--epochs 1 --img-size 32 --batch-size 4 --num-workers 0)
   YOLO_ARGS=(--epochs 1 --img-size 96 --batch-size 4)
   CMP_ARGS=(--img-size 32 --batch-size 4)
+  E2E_ARGS=(--img-size 32 --batch-size 4 --conf-thresh 0.0)
   PRETRAIN_ARGS=()
 else
   # real LineMOD + reference recipe (presets encode 75 epochs, batch 32,
@@ -69,27 +70,48 @@ else
   POSE_ARGS=()
   YOLO_ARGS=()   # reference recipe defaults: 5 epochs, imgsz 640, batch 16
   CMP_ARGS=()
+  E2E_ARGS=()
   PRETRAIN_ARGS=(--pretrained-backbone "$RESNET_PTH")
 fi
 
-echo "=== [1/4] YOLO-layout dataset artifact (reference prepare_yolo parity)"
+echo "=== [1/5] YOLO-layout dataset artifact (reference prepare_yolo parity)"
 python scripts/prepare_yolo.py --source "$DATA" --dest "$WORKDIR/yolo_dataset"
 
-echo "=== [2/4] detector training (native Flax YOLOv8n)"
+echo "=== [2/5] detector training (native Flax YOLOv8n)"
 python scripts/train_yolo.py --data-root "$DATA" \
   --save-dir "$WORKDIR/yolo" "${YOLO_ARGS[@]}"
 
-echo "=== [3/4] pose training: 4 variants"
+echo "=== [3/5] pose training: 4 variants"
 for v in rgb rgb_geometric rgbd rgbd_geometric; do
   python scripts/train.py --variant "$v" --data-root "$DATA" \
     --mesh-dir "$MESH" --save-dir "$WORKDIR/weights_$v" \
     "${POSE_ARGS[@]}" ${PRETRAIN_ARGS[@]+"${PRETRAIN_ARGS[@]}"}
 done
 
-echo "=== [4/4] compare table + parity gate"
+echo "=== [4/5] compare table + parity gate"
 python scripts/compare.py --data-root "$DATA" --mesh-dir "$MESH" \
   --weights-root "$WORKDIR" --json-out "$WORKDIR/reproduce_results.json" \
   "${CMP_ARGS[@]}"
+
+
+echo "=== [5/5] full-system e2e + serving-mode accuracy gates"
+# Detector-in-the-loop evaluation of the deployed pipeline, then the two
+# opt-in serving modes (int8 PTQ towers+detector, folded-bf16 towers) gated
+# against the float numbers — the round-4 evidence suite, not just the
+# GT-box compare table. --yolo-checkpoint pins which detector checkpoint
+# deploys (best = highest val mAP; pass last after a fine-tune whose harder
+# mixed-val mAP never beats the stored best — see train_yolo --scene-roots).
+# dry-run compiles each eval pipeline from scratch on CPU, so it gates one
+# variant through all three modes; the real run gates both evidence variants
+if [ "$DRY_RUN" -eq 1 ]; then E2E_VARIANTS=(rgbd_geometric); else E2E_VARIANTS=(rgb rgbd_geometric); fi
+for v in "${E2E_VARIANTS[@]}"; do
+  for mode in "" --int8-backbone --folded-backbone; do
+    python scripts/eval_e2e.py --variant "$v" --data-root "$DATA" \
+      --mesh-dir "$MESH" --yolo-weights "$WORKDIR/yolo" --yolo-checkpoint best \
+      --pose-weights "$WORKDIR/weights_$v" --split test \
+      ${mode:+"$mode"} ${E2E_ARGS[@]+"${E2E_ARGS[@]}"}
+  done
+done
 
 DRY_RUN="$DRY_RUN" WORKDIR="$WORKDIR" python - <<'EOF'
 import json, os, sys
