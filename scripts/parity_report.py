@@ -70,7 +70,7 @@ center for every variant (reference: compare_visual.py re-derivation,
 inference_*.py geometric paths), so the xy bound vanishes and accuracy is
 set by rotation + z quality. The rgb variant — whose 2048-wide heads and
 translation-supervised backbone converge to ~2.4 deg rotation and ~20 mm z
-— jumps to {e('rgb', 'add01d_full')}% full-system ADD-0.1d behind the 0.975
+— jumps to {e('rgb', 'add01d_full')}% full-system ADD-0.1d behind the 0.973
 mAP detector.
 
 **Rotation-head capacity sets convergence speed, not the ceiling.** Both
@@ -96,7 +96,7 @@ interchangeable with the reference's (full-model forward golden tests, both
 conversion directions); the data path is bit-exact on the eval side (golden
 dataset tests); the losses/metrics match the reference's torch modules on
 random batches; and the trainers demonstrably drive every pathway — the
-detector to 0.975 mAP@50, rotation to a few degrees where the head is
+detector to 0.973 mAP@50, rotation to a few degrees where the head is
 wide, translation to the information bound. What separates these numbers
 from the reference's published table is training inputs (pretrained
 backbone + real data), not framework behavior.

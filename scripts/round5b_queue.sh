@@ -68,6 +68,8 @@ done
 echo "=== [I] document assembly ==="
 python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
 echo "--- multiobj md (exit $?)"
+python scripts/serving_md.py >parity/logs/r5_serving_md.log 2>&1
+echo "--- serving md (exit $?)"
 python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
   >parity/logs/r5_report.log 2>&1
 echo "--- report (exit $?)"
