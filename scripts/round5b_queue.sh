@@ -1,16 +1,20 @@
 #!/bin/bash
 # Round-5 second chip queue — runs AFTER round5_queue.sh (pass its PID).
-#   E. rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5):
-#      zbb (z off the ResNet50 features), zwide (double-width Z-CNN),
-#      warmstart (backbone grafted from the trained rgb donor)
-#   F. component attribution incl. the arms (z error is the metric the
-#      arms exist to move; baseline 32.7 mm vs rgb's 21.3 mm)
-#   G. checkpoint-selection study (best / best_deploy / last x 4 variants)
+# Ordered so the cheap, high-leverage evidence lands before the expensive
+# training arms (the round has a hard wall clock; if it ends mid-arm,
+# everything else has already landed):
 #   H. serving-mode gates: float + int8 + folded (the folded path now runs
 #      the bf16 epilogue fix — conv outputs/biases/residuals in bf16)
-#   I. document assembly (multiobj table, narrative, report)
+#   G. checkpoint-selection study (best / best_deploy / last x 4 variants)
 #   J. perf: fixed prefix profiles (all-leaf carry) + bench with the
 #      top-1 NMS fast path + batch-1 latency refresh
+#   I. document assembly (multiobj table, serving table, narrative)
+#   E. rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5), each
+#      bounded to the reference's 75-epoch budget: zbb (z off the ResNet50
+#      features), warmstart (backbone grafted from the trained rgb donor),
+#      zwide (double-width Z-CNN)
+#   F. component attribution incl. whichever arms finished (z error is the
+#      metric the arms exist to move; baseline 32.7 mm vs rgb's 21.3 mm)
 set -u
 cd /root/repo
 mkdir -p parity/logs
@@ -19,32 +23,6 @@ if [ $# -ge 1 ]; then
   echo "=== waiting for PID $1 to exit ==="
   while kill -0 "$1" 2>/dev/null; do sleep 60; done
 fi
-
-echo "=== [E] rgb_geometric diagnosis arms ==="
-timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
-  --variants rgb_geometric --z-from-backbone \
-  >parity/logs/r5_arm_zbb.log 2>&1
-echo "--- arm zbb (exit $?)"
-timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
-  --variants rgb_geometric --z-backbone-wide \
-  >parity/logs/r5_arm_zwide.log 2>&1
-echo "--- arm zwide (exit $?)"
-timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
-  --variants rgb_geometric --init-towers-from parity/weights_rgb \
-  --donor-variant rgb >parity/logs/r5_arm_warmstart.log 2>&1
-echo "--- arm warmstart (exit $?)"
-
-echo "=== [F] component attribution (base variants + arms) ==="
-timeout 3600 python scripts/probe_components.py --append-md \
-  --variants rgb rgb_geometric rgbd rgbd_geometric \
-  rgb_geometric_zbb rgb_geometric_zwide rgb_geometric_warmstart \
-  >parity/logs/r5_probe.log 2>&1
-echo "--- probe (exit $?)"
-
-echo "=== [G] checkpoint-selection study ==="
-timeout 7200 python scripts/selection_study.py --workdir /root/repo/parity \
-  >parity/logs/r5_selection.log 2>&1
-echo "--- selection (exit $?)"
 
 echo "=== [H] serving-mode accuracy gates (float / int8 / folded) ==="
 for v in rgbd_geometric rgb; do
@@ -65,14 +43,10 @@ for v in rgbd_geometric rgb; do
   echo "--- folded $v (exit $?)"
 done
 
-echo "=== [I] document assembly ==="
-python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
-echo "--- multiobj md (exit $?)"
-python scripts/serving_md.py >parity/logs/r5_serving_md.log 2>&1
-echo "--- serving md (exit $?)"
-python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
-  >parity/logs/r5_report.log 2>&1
-echo "--- report (exit $?)"
+echo "=== [G] checkpoint-selection study ==="
+timeout 7200 python scripts/selection_study.py --workdir /root/repo/parity \
+  >parity/logs/r5_selection.log 2>&1
+echo "--- selection (exit $?)"
 
 echo "=== [J] perf: prefix profiles + bench ==="
 timeout 3600 python scripts/profile_pipeline_prefix.py 128 rgbd \
@@ -86,4 +60,34 @@ echo "--- bench (exit $?)"
 timeout 5400 python scripts/bench_latency.py --variants rgb,rgbd \
   --batches 1,8 --int8 --chain 200 >parity/logs/r5_bench_latency.log 2>&1
 echo "--- latency (exit $?)"
+
+echo "=== [I] document assembly ==="
+python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
+echo "--- multiobj md (exit $?)"
+python scripts/serving_md.py >parity/logs/r5_serving_md.log 2>&1
+echo "--- serving md (exit $?)"
+python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
+  >parity/logs/r5_report.log 2>&1
+echo "--- report (exit $?)"
+
+echo "=== [E] rgb_geometric diagnosis arms (75-epoch reference budget) ==="
+timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
+  --variants rgb_geometric --z-from-backbone --epochs 75 \
+  >parity/logs/r5_arm_zbb.log 2>&1
+echo "--- arm zbb (exit $?)"
+timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
+  --variants rgb_geometric --init-towers-from parity/weights_rgb \
+  --donor-variant rgb --epochs 75 >parity/logs/r5_arm_warmstart.log 2>&1
+echo "--- arm warmstart (exit $?)"
+timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \
+  --variants rgb_geometric --z-backbone-wide --epochs 75 \
+  >parity/logs/r5_arm_zwide.log 2>&1
+echo "--- arm zwide (exit $?)"
+
+echo "=== [F] component attribution (base variants + finished arms) ==="
+timeout 3600 python scripts/probe_components.py --append-md \
+  --variants rgb rgb_geometric rgbd rgbd_geometric \
+  rgb_geometric_zbb rgb_geometric_warmstart rgb_geometric_zwide \
+  >parity/logs/r5_probe.log 2>&1
+echo "--- probe (exit $?)"
 echo "=== round5b queue complete ==="
