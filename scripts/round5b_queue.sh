@@ -5,9 +5,9 @@
 # everything else has already landed):
 #   H. serving-mode gates: float + int8 + folded (the folded path now runs
 #      the bf16 epilogue fix — conv outputs/biases/residuals in bf16)
-#   G. checkpoint-selection study (best / best_deploy / last x 4 variants)
 #   J. perf: fixed prefix profiles (all-leaf carry) + bench with the
 #      top-1 NMS fast path + batch-1 latency refresh
+#   G. checkpoint-selection study (best / best_deploy / last x 4 variants)
 #   I. document assembly (multiobj table, serving table, narrative)
 #   E. rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5), each
 #      bounded to the reference's 75-epoch budget: zbb (z off the ResNet50
@@ -43,11 +43,6 @@ for v in rgbd_geometric rgb; do
   echo "--- folded $v (exit $?)"
 done
 
-echo "=== [G] checkpoint-selection study ==="
-timeout 7200 python scripts/selection_study.py --workdir /root/repo/parity \
-  >parity/logs/r5_selection.log 2>&1
-echo "--- selection (exit $?)"
-
 echo "=== [J] perf: prefix profiles + bench ==="
 timeout 3600 python scripts/profile_pipeline_prefix.py 128 rgbd \
   >parity/logs/prefix_rgbd_r5.log 2>&1
@@ -60,6 +55,11 @@ echo "--- bench (exit $?)"
 timeout 5400 python scripts/bench_latency.py --variants rgb,rgbd \
   --batches 1,8 --int8 --chain 200 >parity/logs/r5_bench_latency.log 2>&1
 echo "--- latency (exit $?)"
+
+echo "=== [G] checkpoint-selection study ==="
+timeout 7200 python scripts/selection_study.py --workdir /root/repo/parity \
+  >parity/logs/r5_selection.log 2>&1
+echo "--- selection (exit $?)"
 
 echo "=== [I] document assembly ==="
 python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
