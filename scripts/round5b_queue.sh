@@ -5,10 +5,12 @@
 # everything else has already landed):
 #   H. serving-mode gates: float + int8 + folded (the folded path now runs
 #      the bf16 epilogue fix — conv outputs/biases/residuals in bf16)
-#   J. perf: fixed prefix profiles (all-leaf carry) + bench with the
-#      top-1 NMS fast path + batch-1 latency refresh
-#   G. checkpoint-selection study (best / best_deploy / last x 4 variants)
+#   G. checkpoint-selection study (best / best_deploy / last x 4 variants,
+#      incremental per-variant so a cutoff leaves a partial table)
 #   I. document assembly (multiobj table, serving table, narrative)
+#   J. perf: fixed prefix profiles (all-leaf carry) + bench with the
+#      top-1 NMS fast path + batch-1 latency refresh (the driver's own
+#      end-of-round bench re-measures the headline even if J is cut)
 #   E. rgb_geometric z-pathway diagnosis arms (VERDICT round-4 #5), each
 #      bounded to the reference's 75-epoch budget: zbb (z off the ResNet50
 #      features), warmstart (backbone grafted from the trained rgb donor),
@@ -43,6 +45,25 @@ for v in rgbd_geometric rgb; do
   echo "--- folded $v (exit $?)"
 done
 
+echo "=== [G] checkpoint-selection study ==="
+# one invocation per variant, learned-translation variants first: each
+# rewrites the section from cumulative selection_results.json, so a
+# wall-clock cutoff leaves a partial table instead of an empty one
+for v in rgb rgbd rgbd_geometric rgb_geometric; do
+  timeout 3600 python scripts/selection_study.py --workdir /root/repo/parity \
+    --variants "$v" >"parity/logs/r5_selection_$v.log" 2>&1
+  echo "--- selection $v (exit $?)"
+done
+
+echo "=== [I] document assembly ==="
+python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
+echo "--- multiobj md (exit $?)"
+python scripts/serving_md.py >parity/logs/r5_serving_md.log 2>&1
+echo "--- serving md (exit $?)"
+python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
+  >parity/logs/r5_report.log 2>&1
+echo "--- report (exit $?)"
+
 echo "=== [J] perf: prefix profiles + bench ==="
 timeout 3600 python scripts/profile_pipeline_prefix.py 128 rgbd \
   >parity/logs/prefix_rgbd_r5.log 2>&1
@@ -55,20 +76,6 @@ echo "--- bench (exit $?)"
 timeout 5400 python scripts/bench_latency.py --variants rgb,rgbd \
   --batches 1,8 --int8 --chain 200 >parity/logs/r5_bench_latency.log 2>&1
 echo "--- latency (exit $?)"
-
-echo "=== [G] checkpoint-selection study ==="
-timeout 7200 python scripts/selection_study.py --workdir /root/repo/parity \
-  >parity/logs/r5_selection.log 2>&1
-echo "--- selection (exit $?)"
-
-echo "=== [I] document assembly ==="
-python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
-echo "--- multiobj md (exit $?)"
-python scripts/serving_md.py >parity/logs/r5_serving_md.log 2>&1
-echo "--- serving md (exit $?)"
-python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
-  >parity/logs/r5_report.log 2>&1
-echo "--- report (exit $?)"
 
 echo "=== [E] rgb_geometric diagnosis arms (75-epoch reference budget) ==="
 timeout 7200 python scripts/parity_run.py --workdir /root/repo/parity \

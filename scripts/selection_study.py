@@ -131,7 +131,11 @@ def main():
         "(deployment-aligned) | last (no selection) |\n",
         "|---|---|---|---|\n",
     ]
-    for v in args.variants:
+    # render every variant accumulated in selection_results.json (not just
+    # this invocation's --variants): the study runs one variant per process
+    # so a wall-clock cutoff leaves a partial-but-correct table
+    order = ["rgb", "rgb_geometric", "rgbd", "rgbd_geometric"]
+    for v in order + sorted(set(results) - set(order)):
         if v not in results:
             continue
         lines.append(
