@@ -5,9 +5,10 @@
 # everything else has already landed):
 #   H. serving-mode gates: float + int8 + folded (the folded path now runs
 #      the bf16 epilogue fix — conv outputs/biases/residuals in bf16)
-#   G. checkpoint-selection study (best / best_deploy / last x 4 variants,
-#      incremental per-variant so a cutoff leaves a partial table)
+#   G1. selection study, rgb first (the variant with the measured 2.2x
+#       deployed swing); incremental so a cutoff leaves a partial table
 #   I. document assembly (multiobj table, serving table, narrative)
+#   G2. selection study, remaining three variants
 #   J. perf: fixed prefix profiles (all-leaf carry) + bench with the
 #      top-1 NMS fast path + batch-1 latency refresh (the driver's own
 #      end-of-round bench re-measures the headline even if J is cut)
@@ -45,15 +46,13 @@ for v in rgbd_geometric rgb; do
   echo "--- folded $v (exit $?)"
 done
 
-echo "=== [G] checkpoint-selection study ==="
-# one invocation per variant, learned-translation variants first: each
-# rewrites the section from cumulative selection_results.json, so a
-# wall-clock cutoff leaves a partial table instead of an empty one
-for v in rgb rgbd rgbd_geometric rgb_geometric; do
-  timeout 3600 python scripts/selection_study.py --workdir /root/repo/parity \
-    --variants "$v" >"parity/logs/r5_selection_$v.log" 2>&1
-  echo "--- selection $v (exit $?)"
-done
+echo "=== [G1] checkpoint-selection study: rgb (the measured-swing variant) ==="
+# per-variant invocations, learned-translation variants first: each rewrites
+# the section from cumulative selection_results.json, so a wall-clock cutoff
+# leaves a partial table instead of an empty one
+timeout 3600 python scripts/selection_study.py --workdir /root/repo/parity \
+  --variants rgb >parity/logs/r5_selection_rgb.log 2>&1
+echo "--- selection rgb (exit $?)"
 
 echo "=== [I] document assembly ==="
 python scripts/multiobj_md.py >parity/logs/r5_multiobj_md.log 2>&1
@@ -63,6 +62,13 @@ echo "--- serving md (exit $?)"
 python scripts/parity_report.py --workdir /root/repo/parity --round 5 \
   >parity/logs/r5_report.log 2>&1
 echo "--- report (exit $?)"
+
+echo "=== [G2] checkpoint-selection study: remaining variants ==="
+for v in rgbd rgbd_geometric rgb_geometric; do
+  timeout 3600 python scripts/selection_study.py --workdir /root/repo/parity \
+    --variants "$v" >"parity/logs/r5_selection_$v.log" 2>&1
+  echo "--- selection $v (exit $?)"
+done
 
 echo "=== [J] perf: prefix profiles + bench ==="
 timeout 3600 python scripts/profile_pipeline_prefix.py 128 rgbd \
