@@ -109,11 +109,16 @@ round-4 retrain reproduced round 3's curves to every printed digit); the
 round-5 curves differ from the archived `metrics_round*.csv` because the
 detector trainer changed mid-round-4 (scene-mix data path + nonfinite-step
 guard) after the round-4 base detector had trained — mAP@50 lands at the
-same level (0.973 vs 0.975). Pose training is bit-deterministic too: the
-round-5 curves reproduce round 4's metrics_round4.csv to every printed
-digit (the round-5 trainer change only ADDED a val column —
-val_acc_deploy — without touching training RNG), so the `best` selections
-land on the same epochs as round 4. On learned-translation variants the
+same level (0.973 vs 0.975). Pose training is bit-deterministic modulo
+resume seams: the round-5 rgb and rgb_geometric curves reproduce round 4's
+metrics_round4.csv to every printed digit across all 100 epochs (the
+round-5 trainer change only ADDED a val column — val_acc_deploy — without
+touching training RNG), and the rgbd curves match digit-for-digit up to
+epoch 62 — the epoch where round 4's OWN mid-run resume re-seeded its
+step-level RNG stream (round 5's rgbd hit a tunnel stall and resumed at
+epoch 78, so the two runs sit on different resume branches after their
+seams; rgbd best lands at 4.24% ep 63 here vs 4.91% ep 91 on round 4's
+branch — same plateau, different noise sample). On learned-translation variants the
 reference's best-by-val-ADD-0.1d selection rule is structurally misaligned
 with deployment — it ranks checkpoints by the learned-xy pathway that the
 deployed pipeline's geometric correction discards — and deployed accuracy
